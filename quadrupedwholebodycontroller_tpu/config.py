@@ -1,0 +1,122 @@
+"""Typed configuration objects.
+
+Field names and default values mirror the reference YAML schemas so that the
+reference configs port verbatim:
+  * controller params — /root/reference/config/params_controller.yaml:1-12,
+    loaded at /root/reference/src/whole_body_controller.cpp:122-148
+  * planner params — /root/reference/config/params_planner.yaml:1-8,
+    loaded at /root/reference/src/motion_planner.cpp:99-120
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+GRAVITY = 9.81  # reference: gravityAcceleration, whole_body_controller.hpp:30
+
+NUM_JOINTS = 12
+NUM_LEGS = 4
+NV = 6 + NUM_JOINTS  # floating-base velocity dimension (18)
+# QP decision vector: [com accel (6); joint accel (12); GRFs (12); slacks (12)]
+# reference: whole_body_controller.hpp:31
+QP_NUM_VARS = 6 + NUM_JOINTS + 3 * NUM_LEGS + 3 * NUM_LEGS  # 42
+# QP constraint rows: dynamics (6) + stance feet (12) + friction (16)
+# + torque limits (12) + swing tracking (24) — whole_body_controller.hpp:32
+QP_NUM_CONSTRAINTS = 6 + 3 * NUM_LEGS + 4 * NUM_LEGS + NUM_JOINTS + 6 * NUM_LEGS  # 70
+
+# Leg order used everywhere (jacobian stacking, contact flags, reference msg):
+# reference src/whole_body_controller.cpp:327-341
+LEG_NAMES = ("LH", "LF", "RF", "RH")
+
+
+@dataclasses.dataclass(frozen=True)
+class ControllerParams:
+    """WBC gains/limits (reference config/params_controller.yaml)."""
+
+    friction: float = 1.0
+    loop_rate: float = 400.0
+    max_torque: float = 80.0
+    kp: float = 6000.0          # reference: kpValue
+    kp_z: float = 10000.0       # reference: kpValueZ
+    kd: float = 1800.0          # reference: kdValue
+    ki: float = 0.0             # reference: kiValue
+    kp_swing: float = 250.0     # reference: kpSwingValue
+    kd_swing: float = 20.0      # reference: kdSwingValue
+    slack_weight: float = 1000.0
+    initial_reference_pose: Sequence[float] = (0.0, 0.0, 0.50, 0.0, 0.0, 0.0)
+
+    @property
+    def dt(self) -> float:
+        return 1.0 / self.loop_rate
+
+
+@dataclasses.dataclass(frozen=True)
+class PlannerParams:
+    """Static-walk gait parameters (reference config/params_planner.yaml)."""
+
+    step_length: float = 0.1
+    height_control_point: float = 0.1
+    x_offset: float = 0.50
+    y_offset: float = 0.33
+    step_duration: float = 0.2
+    body_height: float = 0.50
+    body_final_velocity: float = 0.40
+    dt: float = 0.01
+
+    @property
+    def cycle_duration(self) -> float:
+        # reference src/motion_planner.cpp:119
+        return 4.0 * self.step_duration
+
+
+@dataclasses.dataclass(frozen=True)
+class QPSolverParams:
+    """Batched OSQP-style ADMM solver settings (replaces qpOASES SQProblem
+
+    hot-started active-set solves, reference whole_body_controller.cpp:517-533).
+    """
+
+    iterations: int = 60          # fixed iteration count (XLA-static)
+    rho: float = 0.1              # base ADMM penalty
+    rho_eq_scale: float = 1000.0  # penalty boost for equality rows
+    sigma: float = 1e-6
+    alpha: float = 1.6            # over-relaxation
+    polish: bool = True           # active-set KKT polish after ADMM
+    polish_reg: float = 1e-9
+
+
+def load_yaml_params(path: str):
+    """Load a reference-format YAML (params_controller.yaml /
+
+    params_planner.yaml name scheme) into the typed dataclasses."""
+    import yaml
+
+    with open(path) as f:
+        raw = yaml.safe_load(f)
+    ctrl_map = {
+        "friction": "friction",
+        "loopRate": "loop_rate",
+        "maxTorque": "max_torque",
+        "kpValue": "kp",
+        "kpValueZ": "kp_z",
+        "kdValue": "kd",
+        "kiValue": "ki",
+        "kpSwingValue": "kp_swing",
+        "kdSwingValue": "kd_swing",
+        "slackWeight": "slack_weight",
+        "initialReferencePose": "initial_reference_pose",
+    }
+    plan_keys = {
+        "step_length", "height_control_point", "x_offset", "y_offset",
+        "step_duration", "body_height", "body_final_velocity", "dt",
+    }
+    ctrl_kwargs = {v: raw[k] for k, v in ctrl_map.items() if k in raw}
+    plan_kwargs = {k: raw[k] for k in plan_keys if k in raw}
+    out = {}
+    if ctrl_kwargs:
+        if "initial_reference_pose" in ctrl_kwargs:
+            ctrl_kwargs["initial_reference_pose"] = tuple(ctrl_kwargs["initial_reference_pose"])
+        out["controller"] = ControllerParams(**ctrl_kwargs)
+    if plan_kwargs:
+        out["planner"] = PlannerParams(**plan_kwargs)
+    return out
