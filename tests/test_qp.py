@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+from quadrupedwholebodycontroller_tpu.ops import qp
+
+
+def random_qp(rng, n=8, m=12, n_eq=2, dtype=jnp.float64):
+    L = rng.normal(size=(n, n))
+    H = L @ L.T + n * np.eye(n)
+    g = rng.normal(size=n)
+    A = rng.normal(size=(m, n))
+    x_feas = rng.normal(size=n) * 0.3
+    ax = A @ x_feas
+    l = ax - rng.uniform(0.1, 1.0, size=m)
+    u = ax + rng.uniform(0.1, 1.0, size=m)
+    # first n_eq rows become equalities
+    l[:n_eq] = ax[:n_eq]
+    u[:n_eq] = ax[:n_eq]
+    arr = lambda x: jnp.asarray(x, dtype)
+    return qp.QPData(H=arr(H), g=arr(g), A=arr(A), l=arr(l), u=arr(u))
+
+
+def scipy_solution(data):
+    """Independent oracle: scipy SLSQP on the same QP."""
+    from scipy.optimize import minimize
+
+    H = np.asarray(data.H); g = np.asarray(data.g)
+    A = np.asarray(data.A); l = np.asarray(data.l); u = np.asarray(data.u)
+    eq = (u - l) <= 1e-9
+    cons = []
+    if eq.any():
+        cons.append(dict(type="eq", fun=lambda x: A[eq] @ x - u[eq], jac=lambda x: A[eq]))
+    ineq = ~eq
+    cons.append(dict(type="ineq", fun=lambda x: u[ineq] - A[ineq] @ x, jac=lambda x: -A[ineq]))
+    cons.append(dict(type="ineq", fun=lambda x: A[ineq] @ x - l[ineq], jac=lambda x: A[ineq]))
+    res = minimize(
+        lambda x: 0.5 * x @ H @ x + g @ x,
+        np.zeros(len(g)),
+        jac=lambda x: H @ x + g,
+        constraints=cons,
+        method="SLSQP",
+        options=dict(maxiter=500, ftol=1e-12),
+    )
+    assert res.success, res.message
+    return res.x
+
+
+def test_unconstrained():
+    H = jnp.eye(4, dtype=jnp.float64) * 2.0
+    g = jnp.arange(4, dtype=jnp.float64)
+    A = jnp.zeros((1, 4), dtype=jnp.float64)
+    data = qp.QPData(H=H, g=g, A=A, l=jnp.array([-1e20]), u=jnp.array([1e20]))
+    state, info = qp.solve(data, qp.QPState.zeros(4, 1, jnp.float64),
+                           QPSolverParams(iterations=100))
+    assert np.allclose(np.asarray(state.x), -np.arange(4) / 2.0, atol=1e-8)
+    assert float(info.kkt_residual) < 1e-8
+
+
+def test_equality_constrained_closed_form(rng):
+    n, me = 6, 3
+    L = rng.normal(size=(n, n))
+    H = L @ L.T + n * np.eye(n)
+    g = rng.normal(size=n)
+    A = rng.normal(size=(me, n))
+    b = rng.normal(size=me)
+    kkt = np.block([[H, A.T], [A, np.zeros((me, me))]])
+    sol = np.linalg.solve(kkt, np.concatenate([-g, b]))
+    data = qp.QPData(
+        H=jnp.asarray(H), g=jnp.asarray(g), A=jnp.asarray(A),
+        l=jnp.asarray(b), u=jnp.asarray(b),
+    )
+    state, info = qp.solve(data, qp.QPState.zeros(n, me, jnp.float64),
+                           QPSolverParams(iterations=200))
+    assert np.allclose(np.asarray(state.x), sol[:n], atol=1e-7)
+    assert float(info.kkt_residual) < 1e-7
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3, 4])
+def test_random_qp_kkt_and_scipy(seed):
+    rng = np.random.default_rng(seed)
+    data = random_qp(rng)
+    state, info = qp.solve(data, qp.QPState.zeros(8, 12, jnp.float64),
+                           QPSolverParams(iterations=200))
+    assert float(info.kkt_residual) < 1e-6, float(info.kkt_residual)
+    x_ref = scipy_solution(data)
+    obj = lambda x: 0.5 * x @ np.asarray(data.H) @ x + np.asarray(data.g) @ x
+    assert obj(np.asarray(state.x)) <= obj(x_ref) + 1e-6
+    assert np.allclose(np.asarray(state.x), x_ref, atol=1e-4)
+
+
+def test_warm_start_improves(rng):
+    """A warm start from a nearby problem's solution must reach a better KKT
+
+    residual than a cold start at few iterations (hotstart analogue)."""
+    data = random_qp(rng, n=12, m=20, n_eq=4)
+    params = QPSolverParams(iterations=300)
+    state, _ = qp.solve(data, qp.QPState.zeros(12, 20, jnp.float64), params)
+
+    # perturb the problem slightly (the 400 Hz next-cycle situation)
+    data2 = qp.QPData(
+        H=data.H, g=data.g + 0.01, A=data.A, l=data.l + 0.005, u=data.u + 0.005
+    )
+    few = QPSolverParams(iterations=15, polish=False)
+    warm, info_w = qp.solve(data2, state, few)
+    cold, info_c = qp.solve(data2, qp.QPState.zeros(12, 20, jnp.float64), few)
+    assert float(info_w.kkt_residual) < float(info_c.kkt_residual)
+
+
+def test_batched_solve(rng):
+    datas = [random_qp(np.random.default_rng(s), n=8, m=12) for s in range(5)]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * 5), qp.QPState.zeros(8, 12, jnp.float64)
+    )
+    params = QPSolverParams(iterations=200)
+    states, infos = qp.solve_batched(batch, warm, params)
+    for i in range(5):
+        single, _ = qp.solve(datas[i], qp.QPState.zeros(8, 12, jnp.float64), params)
+        assert np.allclose(np.asarray(states.x[i]), np.asarray(single.x), atol=1e-8)
+    assert np.all(np.asarray(infos.kkt_residual) < 1e-6)
+
+
+def test_infeasible_flagged(rng):
+    """Contradictory constraints: the per-problem status must expose a large
+
+    primal residual (no global abort — SURVEY.md §5 failure-detection note)."""
+    n = 4
+    H = jnp.eye(n, dtype=jnp.float64)
+    g = jnp.zeros(n, dtype=jnp.float64)
+    A = jnp.asarray(np.array([[1.0, 0, 0, 0], [1.0, 0, 0, 0]]))
+    l = jnp.asarray(np.array([1.0, -2.0]))
+    u = jnp.asarray(np.array([2.0, -1.0]))  # x0>=1 and x0<=-1: infeasible
+    data = qp.QPData(H=H, g=g, A=A, l=l, u=u)
+    _, info = qp.solve(data, qp.QPState.zeros(n, 2, jnp.float64),
+                       QPSolverParams(iterations=100))
+    assert float(info.primal_residual) > 0.1
