@@ -77,11 +77,13 @@ class QPSolverParams:
     """
 
     iterations: int = 60          # fixed iteration count (XLA-static)
-    rho: float = 0.1              # base ADMM penalty
+    rho: float = 0.5              # base ADMM penalty (tuned on the WBC QP)
     rho_eq_scale: float = 1000.0  # penalty boost for equality rows
     sigma: float = 1e-6
     alpha: float = 1.6            # over-relaxation
+    scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
     polish: bool = True           # active-set KKT polish after ADMM
+    polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9
 
 

@@ -1,0 +1,348 @@
+"""The whole-body controller: one pure control step.
+
+Re-designs the reference's 400 Hz control loop (updateState -> solveQP ->
+computeJointTorques, src/whole_body_controller.cpp:637-676) as a single
+jittable function
+
+    wbc_step : (obs, ref, carry) -> (output, carry)
+
+with every cross-thread mutable member of the C++ class (old jacobians for
+finite differences, integral error, QP hotstart memory, contact-switch flag)
+made explicit in an immutable WBCCarry.  vmap over a leading axis gives the
+scenario batch; lax.scan over control steps gives the rollout.
+
+QP contract (must match reference exactly — SURVEY.md §3.5):
+  x = [u_dot_com (6); qddot (12); F (12); s (12)]  (42 vars, hpp:31)
+  rows 0-5    equality   M_c,b u_dot_com - J_st,com^T F = -w_gravity
+  rows 6-17   equality   J_st,com u_dot_com + J_st,j qddot = -Jdot_st v_c
+  rows 18-33  inequality D_fr F <= 0 (friction pyramid, contact-masked)
+  rows 34-45  two-sided  -tau_max - h_j <= M_c,jj qddot - J_st,j^T F <= tau_max - h_j
+  rows 46-69  swing tracking with slacks s  (cpp:486-515)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quadrupedwholebodycontroller_tpu.config import (
+    GRAVITY,
+    NUM_JOINTS,
+    NUM_LEGS,
+    NV,
+    QP_NUM_CONSTRAINTS,
+    QP_NUM_VARS,
+    ControllerParams,
+    QPSolverParams,
+)
+from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
+from quadrupedwholebodycontroller_tpu.ops import centroidal as C
+from quadrupedwholebodycontroller_tpu.ops import dynamics as D
+from quadrupedwholebodycontroller_tpu.ops import kinematics as K
+from quadrupedwholebodycontroller_tpu.ops import qp
+from quadrupedwholebodycontroller_tpu.ops import spatial
+
+
+class RobotObservation(NamedTuple):
+    """State intake — replaces the Gazebo model_states / joint_states
+
+    callbacks (reference cpp:187-254)."""
+
+    base_R: jax.Array    # (3, 3)
+    base_p: jax.Array    # (3,)
+    base_vel: jax.Array  # (6,) [linear; angular], world frame
+    q: jax.Array         # (12,)
+    qd: jax.Array        # (12,)
+
+
+class Reference(NamedTuple):
+    """Planner reference — the WbcReferenceMsg contract (msg/WbcReferenceMsg.msg).
+
+    Leg order LH, LF, RF, RH everywhere."""
+
+    com_pose: jax.Array   # (6,) [xyz, rpy]
+    com_vel: jax.Array    # (6,)
+    com_acc: jax.Array    # (6,)
+    swing_pos: jax.Array  # (12,)
+    swing_vel: jax.Array  # (12,)
+    swing_acc: jax.Array  # (12,)
+    contacts: jax.Array   # (4,) float 0/1
+
+    @classmethod
+    def standing(cls, params: ControllerParams, dtype=jnp.float32) -> "Reference":
+        pose = jnp.asarray(params.initial_reference_pose, dtype)
+        z = jnp.zeros
+        return cls(
+            com_pose=pose, com_vel=z(6, dtype), com_acc=z(6, dtype),
+            swing_pos=z(12, dtype), swing_vel=z(12, dtype), swing_acc=z(12, dtype),
+            contacts=jnp.ones(4, dtype),
+        )
+
+
+class WBCCarry(NamedTuple):
+    """All cross-cycle state of the reference C++ class, made explicit."""
+
+    old_T: jax.Array        # (18, 18) previous transformation matrix
+    old_J_st: jax.Array     # (12, 18) previous centroidal stance jacobian
+    old_J_sw: jax.Array     # (12, 18)
+    tdot_inv: jax.Array     # (18, 18) stale d(T^-1)/dt (cpp:289 vs 293 ordering)
+    integral_error: jax.Array  # (6,)
+    prev_contacts: jax.Array   # (4,)
+    switch_flag: jax.Array     # () bool — held between reference updates
+    deriv_valid: jax.Array     # () bool — False on the first cycle
+    qp_warm: qp.QPState        # hotstart memory (42, 70)
+
+
+class WBCOutput(NamedTuple):
+    tau: jax.Array        # (12,) joint torques (the command)
+    grf: jax.Array        # (12,) desired ground reaction forces
+    qp_x: jax.Array       # (42,) full QP solution
+    qp_info: qp.QPInfo
+    com_pos: jax.Array    # (3,)
+    com_pose: jax.Array   # (6,) [com xyz, base rpy]
+    foot_pos: jax.Array   # (12,) world foot positions (LH,LF,RF,RH)
+
+
+def init_carry(dtype=jnp.float32) -> WBCCarry:
+    eye = jnp.eye(NV, dtype=dtype)
+    return WBCCarry(
+        old_T=eye,
+        old_J_st=jnp.zeros((3 * NUM_LEGS, NV), dtype),
+        old_J_sw=jnp.zeros((3 * NUM_LEGS, NV), dtype),
+        tdot_inv=jnp.zeros((NV, NV), dtype),
+        integral_error=jnp.zeros(6, dtype),
+        prev_contacts=jnp.ones(NUM_LEGS, dtype),
+        switch_flag=jnp.asarray(False),
+        deriv_valid=jnp.asarray(False),
+        qp_warm=qp.QPState.zeros(QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype),
+    )
+
+
+def _friction_pyramid(friction, contacts, dtype):
+    """D_fr (16, 12): 4 one-sided rows per leg, D = +-(t_i - mu n), contact-
+
+    masked (reference computeNonSlidingConstraints, cpp:404-424)."""
+    mu = friction
+    D = jnp.asarray(
+        [
+            [1.0, 0.0, -mu],
+            [-1.0, 0.0, -mu],
+            [0.0, 1.0, -mu],
+            [0.0, -1.0, -mu],
+        ],
+        dtype,
+    )
+    blocks = [D * contacts[i] for i in range(NUM_LEGS)]
+    return jax.scipy.linalg.block_diag(*blocks)
+
+
+class WBCSetup(NamedTuple):
+    """Everything wbc_step computes before/after the QP solve — exposed so
+
+    benches and the Pallas batch path can assemble QPs separately."""
+
+    qp_data: qp.QPData
+    h_c: jax.Array
+    Mc_jj: jax.Array
+    Jc_st_j: jax.Array
+    com: jax.Array
+    current_pose: jax.Array
+    foot_pos: jax.Array
+    carry_updates: dict  # fields of WBCCarry computed pre-solve
+
+
+def wbc_setup(
+    model: RobotModel,
+    params: ControllerParams,
+    obs: RobotObservation,
+    ref: Reference,
+    carry: WBCCarry,
+    ref_is_new=True,
+) -> WBCSetup:
+    """State update + QP assembly (updateState/solveQP-assembly halves of the
+
+    reference control cycle, cpp:256-515)."""
+    dtype = obs.base_p.dtype
+    nj, nl = NUM_JOINTS, NUM_LEGS
+    dt = 1.0 / params.loop_rate
+    u = jnp.concatenate([obs.base_vel, obs.qd])
+
+    # ---- contact bookkeeping (referenceCallback, cpp:176-184) ----
+    ref_is_new = jnp.asarray(ref_is_new)
+    changed = jnp.any(ref.contacts != carry.prev_contacts)
+    switch = jnp.where(ref_is_new, changed, carry.switch_flag)
+    prev_contacts = jnp.where(ref_is_new, ref.contacts, carry.prev_contacts)
+    contacts = jnp.where(ref_is_new, ref.contacts, carry.prev_contacts)
+
+    # ---- updateState (cpp:256-294) ----
+    kin = K.forward_kinematics(model, obs.base_R, obs.base_p, obs.q)
+    com = K.robot_com(model, kin)
+    com_vel6 = jnp.concatenate([K.com_velocity(model, kin, u), obs.base_vel[3:6]])
+    current_pose = jnp.concatenate([com, spatial.matrix_to_rpy(obs.base_R)])
+
+    M = D.mass_matrix(model, kin)
+    tf = C.centroidal_transform(M, com, obs.base_p)
+    Mc = C.centroidal_mass_matrix(M, tf)
+    Mc_base = Mc[:6, :6]
+    Mc_jj = Mc[6:, 6:]
+
+    J_feet = K.frame_jacobians(model, kin)[:, :3, :]           # (4, 3, 18)
+    J_st = (J_feet * contacts[:, None, None]).reshape(3 * nl, NV)
+    J_sw = (J_feet * (1.0 - contacts)[:, None, None]).reshape(3 * nl, NV)
+    Jc_st = C.project_jacobian(J_st, tf)
+    Jc_sw = C.project_jacobian(J_sw, tf)
+    Jc_st_com, Jc_st_j = Jc_st[:, :6], Jc_st[:, 6:]
+    Jc_sw_com, Jc_sw_j = Jc_sw[:, :6], Jc_sw[:, 6:]
+
+    # centroidal bias uses the STALE Tdot_inv (cpp:289 reads the member
+    # written at cpp:293 of the previous cycle)
+    h_cor = D.coriolis_bias(model, obs.base_R, obs.base_p, obs.q, u)
+    h_c = C.centroidal_bias(h_cor, M, carry.tdot_inv, u, tf)
+
+    # finite-difference derivatives (computeDerivatives, cpp:384-402);
+    # zeroed on contact switch AND on the first cycle (the reference's first
+    # cycle differences against an identity placeholder — we use zero, a
+    # documented one-step deviation)
+    gate = jnp.where(switch | ~carry.deriv_valid, 0.0, 1.0).astype(dtype)
+    T_dot = gate * (tf.T - carry.old_T) / dt
+    Jd_st = gate * (Jc_st - carry.old_J_st) / dt
+    Jd_sw = gate * (Jc_sw - carry.old_J_sw) / dt
+    new_tdot_inv = C.tdot_inverse(tf, T_dot)
+
+    # ---- desired wrench (computeDesiredWrench, cpp:426-445) ----
+    kp_diag = jnp.full((6,), params.kp, dtype).at[2].set(params.kp_z)
+    m_tot = model.total_mass
+    gravity_wrench = jnp.zeros(6, dtype).at[2].set(m_tot * GRAVITY)
+    pose_err = current_pose - ref.com_pose
+    w_des = (
+        -kp_diag * pose_err
+        - params.kd * (com_vel6 - ref.com_vel)
+        - params.ki * carry.integral_error
+        + gravity_wrench
+        + Mc_base @ ref.com_acc
+    )
+    integral_error = carry.integral_error + pose_err / params.loop_rate
+
+    # ---- swing commanded accelerations (cpp:447-464) ----
+    foot_pos = kin.frame_p.reshape(3 * nl)
+    foot_vel = K.frame_velocities(model, kin, u)[:, :3].reshape(3 * nl)
+    a_cmd = (
+        ref.swing_acc
+        + params.kd_swing * (ref.swing_vel - foot_vel)
+        + params.kp_swing * (ref.swing_pos - foot_pos)
+    )
+    a_cmd = (a_cmd.reshape(nl, 3) * (1.0 - contacts)[:, None]).reshape(3 * nl)
+
+    # ---- QP assembly (solveQP, cpp:466-515) ----
+    n, m = QP_NUM_VARS, QP_NUM_CONSTRAINTS
+    # H = S_F^T J_st,com Q J_st,com^T S_F + R   (Q = I6)
+    H = jnp.zeros((n, n), dtype)
+    H = H.at[18:30, 18:30].set(Jc_st_com @ Jc_st_com.T)
+    R_diag = jnp.ones(n, dtype).at[30:42].set(params.slack_weight)
+    H = H + jnp.diag(R_diag)
+    g = jnp.zeros(n, dtype).at[18:30].set(-(Jc_st_com @ w_des))
+
+    Dfr = _friction_pyramid(params.friction, contacts, dtype)
+    z6x12 = jnp.zeros((6, nj), dtype)
+    z12x12 = jnp.zeros((3 * nl, 3 * nl), dtype)
+    z16x6 = jnp.zeros((4 * nl, 6), dtype)
+    z16x12 = jnp.zeros((4 * nl, nj), dtype)
+    z12x6 = jnp.zeros((nj, 6), dtype)
+    eye12 = jnp.eye(3 * nl, dtype=dtype)
+    A = jnp.concatenate(
+        [
+            jnp.concatenate([Mc_base, z6x12, -Jc_st_com.T, jnp.zeros((6, 3 * nl), dtype)], axis=1),
+            jnp.concatenate([Jc_st_com, Jc_st_j, z12x12, z12x12], axis=1),
+            jnp.concatenate([z16x6, z16x12, Dfr, jnp.zeros((4 * nl, 3 * nl), dtype)], axis=1),
+            jnp.concatenate([z12x6, Mc_jj, -Jc_st_j.T, z12x12], axis=1),
+            jnp.concatenate([Jc_sw_com, Jc_sw_j, z12x12, -eye12], axis=1),
+            jnp.concatenate([Jc_sw_com, Jc_sw_j, z12x12, eye12], axis=1),
+        ],
+        axis=0,
+    )
+
+    vel_c = jnp.concatenate([com_vel6, obs.qd])  # centroidal-coordinates velocity
+    stance_rhs = -(Jd_st @ vel_c)
+    swing_rhs = a_cmd - Jd_sw @ vel_c
+    tau_max = jnp.full((nj,), params.max_torque, dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    ub = jnp.concatenate(
+        [
+            -gravity_wrench,
+            stance_rhs,
+            jnp.zeros(4 * nl, dtype),
+            tau_max - h_c[6:],
+            swing_rhs,
+            jnp.full((3 * nl,), inf, dtype),
+        ]
+    )
+    lb = jnp.concatenate(
+        [
+            -gravity_wrench,
+            stance_rhs,
+            jnp.full((4 * nl,), -inf, dtype),
+            -tau_max - h_c[6:],
+            jnp.full((3 * nl,), -inf, dtype),
+            swing_rhs,
+        ]
+    )
+
+    data = qp.QPData(H=H, g=g, A=A, l=lb, u=ub)
+    return WBCSetup(
+        qp_data=data,
+        h_c=h_c,
+        Mc_jj=Mc_jj,
+        Jc_st_j=Jc_st_j,
+        com=com,
+        current_pose=current_pose,
+        foot_pos=foot_pos,
+        carry_updates=dict(
+            old_T=tf.T,
+            old_J_st=Jc_st,
+            old_J_sw=Jc_sw,
+            tdot_inv=new_tdot_inv,
+            integral_error=integral_error,
+            prev_contacts=prev_contacts,
+            switch_flag=switch,
+            deriv_valid=jnp.asarray(True),
+        ),
+    )
+
+
+def wbc_step(
+    model: RobotModel,
+    params: ControllerParams,
+    qp_params: QPSolverParams,
+    obs: RobotObservation,
+    ref: Reference,
+    carry: WBCCarry,
+    ref_is_new=True,
+):
+    """One 400 Hz control cycle.  ref_is_new mirrors the arrival of a planner
+
+    message (the contact-switch flag is only re-evaluated then, matching the
+    referenceCallback semantics at cpp:176-184)."""
+    setup = wbc_setup(model, params, obs, ref, carry, ref_is_new)
+
+    # on a contact switch the carried duals refer to re-masked constraint
+    # rows (a different problem); keep the primal warm start but drop z/y
+    switch = setup.carry_updates["switch_flag"]
+    warm = qp.QPState(
+        x=carry.qp_warm.x,
+        z=jnp.where(switch, jnp.zeros_like(carry.qp_warm.z), carry.qp_warm.z),
+        y=jnp.where(switch, jnp.zeros_like(carry.qp_warm.y), carry.qp_warm.y),
+    )
+    qp_state, qp_info = qp.solve(setup.qp_data, warm, qp_params)
+
+    # ---- torque mapping (computeJointTorques, cpp:553-577) ----
+    qdd = qp_state.x[6:18]
+    grf = qp_state.x[18:30]
+    tau = setup.Mc_jj @ qdd + setup.h_c[6:] - setup.Jc_st_j.T @ grf
+
+    out = WBCOutput(
+        tau=tau, grf=grf, qp_x=qp_state.x, qp_info=qp_info,
+        com_pos=setup.com, com_pose=setup.current_pose, foot_pos=setup.foot_pos,
+    )
+    new_carry = WBCCarry(qp_warm=qp_state, **setup.carry_updates)
+    return out, new_carry

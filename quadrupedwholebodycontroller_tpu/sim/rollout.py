@@ -1,0 +1,137 @@
+"""Closed-loop rollout: planner -> WBC -> physics fused in one lax.scan.
+
+This is the whole reference process graph (motion_planner node + controller
+node + Gazebo, launch/whole_body_controller.launch:9-25) collapsed into a
+single XLA program: no topic hops, no threads, no races — the asynchronous
+400 Hz / 100 Hz coupling is reproduced by ticking the planner every
+`control_rate * planner_dt` control steps with zero-order-held references
+(last-writer-wins, exactly the ROS queue-size-semantics of cpp:49).
+
+vmap over the leading axis of (sim_state, command sequence) runs a scenario
+batch; shard the batch over a Mesh for multi-chip sweeps (parallel/).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from quadrupedwholebodycontroller_tpu.config import (
+    ControllerParams,
+    PlannerParams,
+    QPSolverParams,
+)
+from quadrupedwholebodycontroller_tpu.control import wbc
+from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
+from quadrupedwholebodycontroller_tpu.planner import gait
+from quadrupedwholebodycontroller_tpu.sim import world
+
+
+class RolloutCarry(NamedTuple):
+    sim: world.SimState
+    wbc: wbc.WBCCarry
+    planner: gait.PlannerState
+    ref: wbc.Reference
+
+
+class RolloutTrace(NamedTuple):
+    """Per-control-step log — the rosbag record analogue
+
+    (launch/whole_body_controller.launch:27-35 records joint_states, com,
+    command torques, desired GRFs; we record the same signals as arrays)."""
+
+    com_pos: jax.Array     # (T, 3)
+    com_pose: jax.Array    # (T, 6)
+    base_p: jax.Array      # (T, 3)
+    q: jax.Array           # (T, 12)
+    tau: jax.Array         # (T, 12)
+    grf: jax.Array         # (T, 12)
+    foot_pos: jax.Array    # (T, 12)
+    ref_com_pose: jax.Array  # (T, 6)
+    contacts: jax.Array    # (T, 4)
+    qp_kkt: jax.Array      # (T,)
+
+
+def init_rollout_carry(
+    model: RobotModel,
+    cparams: ControllerParams,
+    pparams: PlannerParams,
+    dtype=jnp.float32,
+    z_offset: float = 0.05,
+) -> RolloutCarry:
+    """Start from the reference's reset pose: hard-coded joint angles, base at
+
+    the reference z + offset, zero velocity (resetRobotSimState, cpp:579-606)."""
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+
+    base_p = jnp.asarray(
+        [
+            cparams.initial_reference_pose[0],
+            cparams.initial_reference_pose[1],
+            cparams.initial_reference_pose[2] + z_offset,
+        ],
+        dtype,
+    )
+    return RolloutCarry(
+        sim=world.init_sim_state(model, base_p, jnp.asarray(INITIAL_JOINT_POS, dtype), dtype),
+        wbc=wbc.init_carry(dtype),
+        planner=gait.init_planner_state(pparams, dtype),
+        ref=wbc.Reference.standing(cparams, dtype),
+    )
+
+
+def closed_loop_rollout(
+    model: RobotModel,
+    cparams: ControllerParams,
+    pparams: PlannerParams,
+    qparams: QPSolverParams,
+    sparams: world.SimParams,
+    carry: RolloutCarry,
+    commands,  # (T, 3) [vx, vy, yaw_rate] per control step (the /cmd_vel feed)
+):
+    """Run T control steps; returns (carry, RolloutTrace)."""
+    ratio = int(round(cparams.loop_rate * pparams.dt))  # control steps per planner tick
+
+    def step(carry: RolloutCarry, xs):
+        k, cmd = xs
+        # planner ticks every `ratio` control steps (100 Hz vs 400 Hz)
+        tick = (k % ratio) == 0
+
+        def do_tick(args):
+            pstate, ref = args
+            pstate, new_ref, published = gait.planner_step(pparams, pstate, cmd)
+            ref = jax.tree.map(lambda n, o: jnp.where(published, n, o), new_ref, ref)
+            return pstate, ref, published
+
+        def no_tick(args):
+            pstate, ref = args
+            return pstate, ref, jnp.asarray(False)
+
+        pstate, ref, ref_is_new = jax.lax.cond(
+            tick, do_tick, no_tick, (carry.planner, carry.ref)
+        )
+
+        obs = world.observe(carry.sim)
+        out, wcarry = wbc.wbc_step(
+            model, cparams, qparams, obs, ref, carry.wbc, ref_is_new
+        )
+        sim = world.sim_control_period(model, carry.sim, out.tau, sparams)
+
+        trace = RolloutTrace(
+            com_pos=out.com_pos,
+            com_pose=out.com_pose,
+            base_p=carry.sim.base_p,
+            q=carry.sim.q,
+            tau=out.tau,
+            grf=out.grf,
+            foot_pos=out.foot_pos,
+            ref_com_pose=ref.com_pose,
+            contacts=ref.contacts,
+            qp_kkt=out.qp_info.kkt_residual,
+        )
+        return RolloutCarry(sim=sim, wbc=wcarry, planner=pstate, ref=ref), trace
+
+    T = commands.shape[0]
+    ks = jnp.arange(T, dtype=jnp.int32)
+    return jax.lax.scan(step, carry, (ks, commands))
