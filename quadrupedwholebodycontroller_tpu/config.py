@@ -76,7 +76,7 @@ class QPSolverParams:
     hot-started active-set solves, reference whole_body_controller.cpp:517-533).
     """
 
-    iterations: int = 60          # fixed iteration count (XLA-static)
+    iterations: int = 100         # fixed iteration count (XLA-static)
     rho: float = 0.5              # base ADMM penalty (tuned on the WBC QP)
     rho_eq_scale: float = 1000.0  # penalty boost for equality rows
     sigma: float = 1e-6

@@ -1,0 +1,94 @@
+"""Sharded scenario sweeps: the batched-robustness workload
+
+(BASELINE.json config 5: thousands of parallel scenarios over payload,
+friction, and push disturbances, sharded across hosts/chips).
+
+The whole closed-loop step (planner tick + WBC + physics) runs under
+shard_map with the scenario batch split over the (hosts, chips) mesh;
+cross-chip traffic is exactly one psum for the sweep metrics (the ROS
+topic bus collapsed to one ICI collective).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from quadrupedwholebodycontroller_tpu.config import (
+    ControllerParams,
+    PlannerParams,
+    QPSolverParams,
+)
+from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
+from quadrupedwholebodycontroller_tpu.parallel.mesh import BATCH_AXES
+from quadrupedwholebodycontroller_tpu.sim import world
+from quadrupedwholebodycontroller_tpu.sim.rollout import (
+    RolloutCarry,
+    closed_loop_rollout,
+)
+
+
+class SweepMetrics(NamedTuple):
+    """Globally-reduced health metrics (psum over the mesh)."""
+
+    mean_kkt: jax.Array       # mean QP KKT residual over batch and time
+    max_kkt: jax.Array
+    mean_tracking_err: jax.Array  # mean |com - ref| (xyz)
+    fallen_fraction: jax.Array    # scenarios whose CoM dropped below 0.2 m
+    n_scenarios: jax.Array
+
+
+def sweep_metrics(trace, axis_names=BATCH_AXES) -> SweepMetrics:
+    """Per-shard trace -> globally psum-reduced metrics.  Call inside
+
+    shard_map."""
+    kkt = trace.qp_kkt
+    err = jnp.abs(trace.com_pose[..., :3] - trace.ref_com_pose[..., :3])
+    fallen = jnp.any(trace.com_pos[..., 2] < 0.2, axis=-1)
+    n_local = jnp.asarray(kkt.shape[0], kkt.dtype)
+
+    n = jax.lax.psum(n_local, axis_names)
+    return SweepMetrics(
+        mean_kkt=jax.lax.psum(jnp.sum(jnp.mean(kkt, axis=-1)), axis_names) / n,
+        max_kkt=jax.lax.pmax(jnp.max(kkt), axis_names),
+        mean_tracking_err=jax.lax.psum(jnp.sum(jnp.mean(err, axis=(-2, -1))), axis_names) / n,
+        fallen_fraction=jax.lax.psum(jnp.sum(fallen.astype(kkt.dtype)), axis_names) / n,
+        n_scenarios=n,
+    )
+
+
+def sharded_sweep_step(
+    model: RobotModel,
+    cparams: ControllerParams,
+    pparams: PlannerParams,
+    qparams: QPSolverParams,
+    sparams: world.SimParams,
+    mesh: Mesh,
+):
+    """Build the jitted sharded sweep: (batched carry, batched commands) ->
+
+    (batched carry, SweepMetrics).  Batch axis must divide the mesh size."""
+
+    def shard_fn(carry, commands):
+        # vmap over the local shard of scenarios
+        carry, trace = jax.vmap(
+            lambda c, x: closed_loop_rollout(
+                model, cparams, pparams, qparams, sparams, c, x
+            )
+        )(carry, commands)
+        metrics = sweep_metrics(trace)
+        return carry, metrics
+
+    spec = P(BATCH_AXES)
+    rep = P()
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(spec, spec),
+        out_specs=(spec, rep),
+        check_vma=False,
+    )
+    return jax.jit(fn)
