@@ -1,0 +1,255 @@
+"""Command-line entry points — the roslaunch/teleop layer replacement.
+
+Subcommands cover the five benchmark configurations (BASELINE.json):
+  standing       quadruple-stance balance
+  walk           static-walk gait (the reference's configuration)
+  trot           trotting gait
+  teleop-replay  closed loop driven by a recorded command stream (the Qt
+                 teleop GUI was just a Twist source — reference
+                 src/teleop_gui_node.cpp; here a (t, vx, vy, wz) CSV)
+  sweep          batched robustness sweep on the device mesh
+  plot           render the plot_bag.py panel set from a saved trace
+
+Run:  python -m quadrupedwholebodycontroller_tpu.cli.main <subcommand> [...]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _common(ap):
+    ap.add_argument("--seconds", type=float, default=3.0)
+    ap.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    ap.add_argument("--qp-iters", type=int, default=100)
+    ap.add_argument("--save", type=str, default=None, help="save trace .npz")
+    ap.add_argument("--plot", type=str, default=None, help="save plot .png")
+    ap.add_argument("--params", type=str, default=None, help="reference-format yaml")
+
+
+def _setup(args):
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.config import (
+        ControllerParams,
+        PlannerParams,
+        QPSolverParams,
+        load_yaml_params,
+    )
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.sim import SimParams
+
+    dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
+    cp, pp = ControllerParams(), PlannerParams()
+    if args.params:
+        loaded = load_yaml_params(args.params)
+        cp = loaded.get("controller", cp)
+        pp = loaded.get("planner", pp)
+    return dict(
+        dtype=dtype,
+        model=anymal_d_model(dtype=dtype),
+        cp=cp,
+        pp=pp,
+        qp=QPSolverParams(iterations=args.qp_iters),
+        sp=SimParams(),
+    )
+
+
+def _finish(args, trace, cp):
+    from quadrupedwholebodycontroller_tpu.viz import plots
+
+    arrs = plots.trace_to_arrays(trace)
+    kkt = arrs["qp_kkt"]
+    print(
+        f"T={len(kkt)} steps | qp kkt med={np.median(kkt):.2e} max={kkt.max():.2e} | "
+        f"com z=[{arrs['com_pos'][:, 2].min():.3f},{arrs['com_pos'][:, 2].max():.3f}] | "
+        f"x travel={arrs['com_pos'][-1, 0] - arrs['com_pos'][0, 0]:.3f} m | "
+        f"tau max={np.abs(arrs['tau']).max():.1f} N m"
+    )
+    if args.save:
+        plots.save_trace(args.save, trace, cp.loop_rate)
+        print("trace ->", args.save)
+    if args.plot:
+        plots.plot_run(arrs, skip_seconds=0.5, control_rate=cp.loop_rate, out_path=args.plot)
+        print("plot ->", args.plot)
+
+
+def cmd_standing(args):
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.sim.rollout import (
+        closed_loop_rollout,
+        init_rollout_carry,
+    )
+
+    s = _setup(args)
+    T = int(args.seconds * s["cp"].loop_rate)
+    carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
+    cmds = jnp.zeros((T, 3), s["dtype"])
+    fn = jax.jit(
+        lambda c, x: closed_loop_rollout(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], c, x)
+    )
+    t0 = time.time()
+    _, trace = fn(carry, cmds)
+    jax.block_until_ready(trace.com_pos)
+    print(f"standing {args.seconds}s sim in {time.time() - t0:.1f}s wall")
+    _finish(args, trace, s["cp"])
+
+
+def cmd_walk(args):
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.sim.rollout import (
+        closed_loop_rollout,
+        init_rollout_carry,
+    )
+
+    s = _setup(args)
+    T = int(args.seconds * s["cp"].loop_rate)
+    warmup = int(0.25 * s["cp"].loop_rate)
+    carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
+    cmds = jnp.zeros((T, 3), s["dtype"]).at[warmup:, 0].set(args.vx)
+    cmds = cmds.at[warmup:, 1].set(args.vy).at[warmup:, 2].set(args.wz)
+    fn = jax.jit(
+        lambda c, x: closed_loop_rollout(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], c, x)
+    )
+    t0 = time.time()
+    _, trace = fn(carry, cmds)
+    jax.block_until_ready(trace.com_pos)
+    print(f"walk {args.seconds}s sim in {time.time() - t0:.1f}s wall")
+    _finish(args, trace, s["cp"])
+
+
+def cmd_trot(args):
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.planner import trot
+    from quadrupedwholebodycontroller_tpu.sim.rollout import (
+        init_rollout_carry,
+        trot_rollout,
+    )
+
+    s = _setup(args)
+    tp = trot.TrotParams()
+    T = int(args.seconds * s["cp"].loop_rate)
+    warmup = int(0.25 * s["cp"].loop_rate)
+    carry = init_rollout_carry(
+        s["model"], s["cp"], dtype=s["dtype"],
+        planner_state=trot.init_trot_state(tp, s["dtype"]),
+    )
+    cmds = jnp.zeros((T, 3), s["dtype"]).at[warmup:, 0].set(args.vx)
+    cmds = cmds.at[warmup:, 1].set(args.vy).at[warmup:, 2].set(args.wz)
+    fn = jax.jit(
+        lambda c, x: trot_rollout(s["model"], s["cp"], tp, s["qp"], s["sp"], c, x)
+    )
+    t0 = time.time()
+    _, trace = fn(carry, cmds)
+    jax.block_until_ready(trace.com_pos)
+    print(f"trot {args.seconds}s sim in {time.time() - t0:.1f}s wall")
+    _finish(args, trace, s["cp"])
+
+
+def cmd_teleop_replay(args):
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.sim.rollout import (
+        closed_loop_rollout,
+        init_rollout_carry,
+    )
+
+    s = _setup(args)
+    # command stream: CSV rows "t,vx,vy,wz", zero-order-held (Twist semantics)
+    stream = np.loadtxt(args.stream, delimiter=",", ndmin=2)
+    T = int(stream[-1, 0] * s["cp"].loop_rate) + 1
+    tgrid = np.arange(T) / s["cp"].loop_rate
+    idx = np.searchsorted(stream[:, 0], tgrid, side="right") - 1
+    idx = np.clip(idx, 0, len(stream) - 1)
+    cmds = jnp.asarray(stream[idx, 1:4], s["dtype"])
+    carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
+    fn = jax.jit(
+        lambda c, x: closed_loop_rollout(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], c, x)
+    )
+    _, trace = fn(carry, cmds)
+    jax.block_until_ready(trace.com_pos)
+    _finish(args, trace, s["cp"])
+
+
+def cmd_sweep(args):
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.parallel import (
+        make_mesh,
+        shard_batch,
+        sharded_sweep_step,
+    )
+    from quadrupedwholebodycontroller_tpu.sim.rollout import init_rollout_carry
+
+    s = _setup(args)
+    mesh = make_mesh()
+    B = args.batch
+    T = int(args.seconds * s["cp"].loop_rate)
+    carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
+    bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry)
+    # scenario spread: forward velocity commands in [0, 0.8]
+    key = jax.random.PRNGKey(args.seed)
+    vx = jax.random.uniform(key, (B,), s["dtype"], 0.0, 0.8)
+    cmds = jnp.zeros((B, T, 3), s["dtype"]).at[:, 40:, 0].set(vx[:, None])
+    step = sharded_sweep_step(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], mesh)
+    bcarry = shard_batch(bcarry, mesh)
+    cmds = shard_batch(cmds, mesh)
+    t0 = time.time()
+    _, metrics = step(bcarry, cmds)
+    jax.block_until_ready(metrics.mean_kkt)
+    dt = time.time() - t0
+    print(
+        f"sweep B={B} T={T} on {mesh.devices.size} devices in {dt:.1f}s | "
+        f"{B * T / dt:,.0f} control-steps/s | mean_kkt={float(metrics.mean_kkt):.2e} "
+        f"max_kkt={float(metrics.max_kkt):.2e} fallen={float(metrics.fallen_fraction):.3f}"
+    )
+
+
+def cmd_plot(args):
+    from quadrupedwholebodycontroller_tpu.viz import plots
+
+    arrs = plots.load_trace(args.trace)
+    plots.plot_run(arrs, skip_seconds=args.skip, out_path=args.out)
+    print("plot ->", args.out)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="qwbc")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("standing"); _common(p); p.set_defaults(fn=cmd_standing)
+    for name, fn in [("walk", cmd_walk), ("trot", cmd_trot)]:
+        p = sub.add_parser(name); _common(p)
+        p.add_argument("--vx", type=float, default=0.5)
+        p.add_argument("--vy", type=float, default=0.0)
+        p.add_argument("--wz", type=float, default=0.0)
+        p.set_defaults(fn=fn)
+    p = sub.add_parser("teleop-replay"); _common(p)
+    p.add_argument("stream", help="CSV of t,vx,vy,wz")
+    p.set_defaults(fn=cmd_teleop_replay)
+    p = sub.add_parser("sweep"); _common(p)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_sweep)
+    p = sub.add_parser("plot")
+    p.add_argument("trace"); p.add_argument("--out", default="run.png")
+    p.add_argument("--skip", type=float, default=3.0)
+    p.set_defaults(fn=cmd_plot)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -12,12 +12,16 @@ Conventions (iDynTree MIXED representation, matching the reference's use):
     - linear first, base-origin linear velocity in world coordinates
   * a frame Jacobian maps u -> [v_frame_origin_world; omega_frame_world]
 
-All functions are single-sample and shape-static; batch via jax.vmap.
-The 12-joint tree loop is unrolled at trace time (static topology), so XLA
-sees pure elementwise/matmul ops — no dynamic control flow.
+TPU-first structure: the tree is processed by *depth level* (all four legs'
+hips in one batched op, then thighs, then shanks) and every Jacobian is
+assembled by one fused masked-cross-product einsum over all joints and all
+target points at once — so a vmapped call lowers to a handful of wide XLA
+ops instead of hundreds of (3,3)-sized kernels (which tile catastrophically
+on the 8x128 VPU).  Tree topology is static Python, resolved at trace time.
 """
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -40,30 +44,55 @@ class KinState(NamedTuple):
     frame_p: jax.Array       # (nf, 3)
 
 
-def forward_kinematics(model: RobotModel, base_R, base_p, q) -> KinState:
-    """FK over the whole tree. base_R: (3,3), base_p: (3,), q: (nj,)."""
-    nb = model.num_bodies
-    body_R = [None] * nb
-    body_p = [None] * nb
-    body_R[0] = base_R
-    body_p[0] = base_p
-    joint_axis_w = []
-    joint_origin_w = []
+@lru_cache(maxsize=None)
+def _levels(parent: tuple) -> tuple:
+    """Static depth-level schedule: tuple of (body_indices, parent_indices)."""
+    nb = len(parent)
+    depth = [0] * nb
     for b in range(1, nb):
-        j = b - 1
-        pa = model.parent[b]
-        R_jf = body_R[pa] @ model.joint_R[j]          # joint frame in world
-        p_j = body_p[pa] + body_R[pa] @ model.joint_p[j]
-        axis_w = R_jf @ model.joint_axis[j]
-        body_R[b] = R_jf @ spatial.axis_angle_to_matrix(model.joint_axis[j], q[j])
-        body_p[b] = p_j
-        joint_axis_w.append(axis_w)
-        joint_origin_w.append(p_j)
-    body_R = jnp.stack(body_R)
-    body_p = jnp.stack(body_p)
+        depth[b] = depth[parent[b]] + 1
+    out = []
+    for d in range(1, max(depth) + 1):
+        bodies = tuple(b for b in range(1, nb) if depth[b] == d)
+        parents = tuple(parent[b] for b in bodies)
+        out.append((bodies, parents))
+    return tuple(out)
+
+
+def forward_kinematics(model: RobotModel, base_R, base_p, q) -> KinState:
+    """FK over the whole tree, one batched op-set per depth level.
+
+    base_R: (3,3), base_p: (3,), q: (nj,)."""
+    nb = model.num_bodies
+    R_list = [None] * nb
+    p_list = [None] * nb
+    R_list[0] = base_R
+    p_list[0] = base_p
+    axis_w_list = [None] * (nb - 1)
+    org_w_list = [None] * (nb - 1)
+
+    for bodies, parents in _levels(model.parent):
+        jidx = np.asarray([b - 1 for b in bodies])
+        Rp = jnp.stack([R_list[p] for p in parents])   # (L, 3, 3)
+        pp = jnp.stack([p_list[p] for p in parents])   # (L, 3)
+        jR = model.joint_R[jidx]
+        jp = model.joint_p[jidx]
+        ax = model.joint_axis[jidx]
+        R_jf = Rp @ jR                                  # joint frames, world
+        p_j = pp + jnp.einsum("lij,lj->li", Rp, jp)
+        ax_w = jnp.einsum("lij,lj->li", R_jf, ax)
+        R_b = R_jf @ spatial.axis_angle_to_matrix(ax, q[jidx])
+        for i, b in enumerate(bodies):
+            R_list[b] = R_b[i]
+            p_list[b] = p_j[i]
+            axis_w_list[b - 1] = ax_w[i]
+            org_w_list[b - 1] = p_j[i]
+
+    body_R = jnp.stack(R_list)
+    body_p = jnp.stack(p_list)
     body_com_w = body_p + jnp.einsum("bij,bj->bi", body_R, model.com)
     if model.frame_R.shape[0]:
-        fb = np.array(model.frame_body)
+        fb = np.asarray(model.frame_body)
         frame_R = body_R[fb] @ model.frame_R
         frame_p = body_p[fb] + jnp.einsum("fij,fj->fi", body_R[fb], model.frame_p)
     else:
@@ -73,37 +102,53 @@ def forward_kinematics(model: RobotModel, base_R, base_p, q) -> KinState:
         body_R=body_R,
         body_p=body_p,
         body_com_w=body_com_w,
-        joint_axis_w=jnp.stack(joint_axis_w),
-        joint_origin_w=jnp.stack(joint_origin_w),
+        joint_axis_w=jnp.stack(axis_w_list),
+        joint_origin_w=jnp.stack(org_w_list),
         frame_R=frame_R,
         frame_p=frame_p,
     )
 
 
-def _point_jacobian(model, kin, x, mask_row):
-    """Mixed Jacobian (6, nv) of a world point x on a body with ancestor-joint
+@lru_cache(maxsize=None)
+def _ancestor_mask_np(parent: tuple):
+    nb, nj = len(parent), len(parent) - 1
+    mask = np.zeros((nb, nj))
+    for b in range(1, nb):
+        mask[b] = mask[parent[b]].copy()
+        mask[b, b - 1] = 1.0
+    return mask
 
-    mask mask_row (nj,): u -> [v_x_world; omega_world]."""
+
+def point_jacobians(model: RobotModel, kin: KinState, points, point_bodies) -> jax.Array:
+    """Mixed Jacobians (np, 6, nv) of world points attached to bodies.
+
+    points: (np, 3); point_bodies: static tuple of owning body indices.
+    One fused masked-cross-product computation for all points x joints."""
     nj = model.num_joints
-    dtype = x.dtype
-    eye3 = jnp.eye(3, dtype=dtype)
-    # joint columns
-    jv = jnp.cross(kin.joint_axis_w, x[None, :] - kin.joint_origin_w)  # (nj, 3)
-    jv = jv * mask_row[:, None]
-    jw = kin.joint_axis_w * mask_row[:, None]
-    Jv = jnp.concatenate([eye3, -spatial.skew(x - kin.body_p[0]), jv.T], axis=1)
-    Jw = jnp.concatenate([jnp.zeros((3, 3), dtype), eye3, jw.T], axis=1)
-    return jnp.concatenate([Jv, Jw], axis=0)
+    dtype = points.dtype
+    npts = points.shape[0]
+    mask = jnp.asarray(
+        _ancestor_mask_np(model.parent)[np.asarray(point_bodies)], dtype
+    )  # (np, nj)
+
+    rel = points[:, None, :] - kin.joint_origin_w[None, :, :]       # (np, nj, 3)
+    jv = jnp.cross(kin.joint_axis_w[None, :, :], rel) * mask[..., None]
+    jw = jnp.broadcast_to(kin.joint_axis_w[None], (npts, nj, 3)) * mask[..., None]
+
+    eye3 = jnp.broadcast_to(jnp.eye(3, dtype=dtype), (npts, 3, 3))
+    zero3 = jnp.zeros((npts, 3, 3), dtype)
+    Jv = jnp.concatenate(
+        [eye3, -spatial.skew(points - kin.body_p[0]), jnp.swapaxes(jv, 1, 2)], axis=2
+    )  # (np, 3, nv)
+    Jw = jnp.concatenate([zero3, eye3, jnp.swapaxes(jw, 1, 2)], axis=2)
+    return jnp.concatenate([Jv, Jw], axis=1)
 
 
 def body_com_jacobians(model: RobotModel, kin: KinState) -> jax.Array:
     """(nb, 6, nv) mixed Jacobians at each body's CoM (for M, bias, energy)."""
-    mask = jnp.asarray(model.ancestor_joint_mask(), dtype=kin.body_p.dtype)
-    rows = [
-        _point_jacobian(model, kin, kin.body_com_w[b], mask[b])
-        for b in range(model.num_bodies)
-    ]
-    return jnp.stack(rows)
+    return point_jacobians(
+        model, kin, kin.body_com_w, tuple(range(model.num_bodies))
+    )
 
 
 def frame_jacobians(model: RobotModel, kin: KinState) -> jax.Array:
@@ -111,12 +156,7 @@ def frame_jacobians(model: RobotModel, kin: KinState) -> jax.Array:
 
     Matches iDynTree getFrameFreeFloatingJacobian in MIXED representation
     (reference src/whole_body_controller.cpp:327-341 uses the top 3 rows)."""
-    mask = jnp.asarray(model.ancestor_joint_mask(), dtype=kin.body_p.dtype)
-    rows = [
-        _point_jacobian(model, kin, kin.frame_p[f], mask[model.frame_body[f]])
-        for f in range(len(model.frame_body))
-    ]
-    return jnp.stack(rows)
+    return point_jacobians(model, kin, kin.frame_p, model.frame_body)
 
 
 def robot_com(model: RobotModel, kin: KinState) -> jax.Array:

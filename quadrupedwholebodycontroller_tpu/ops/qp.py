@@ -169,7 +169,14 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
 
     K = sdata.H + sigma * jnp.eye(n, dtype=dtype) + (sdata.A.T * rho) @ sdata.A
     # one factorization per problem; iterations are then matmul-only
-    K_chol = jax.scipy.linalg.cho_factor(K)
+    K_fac, K_lower = jax.scipy.linalg.cho_factor(K)
+    # materialize the problem data before the iteration loop: without this
+    # barrier XLA may fuse the (large) upstream assembly graph into the loop
+    # body and recompute it every iteration
+    sdata, rho, K_fac, warm_s = jax.lax.optimization_barrier(
+        (sdata, rho, K_fac, warm_s)
+    )
+    K_chol = (K_fac, K_lower)
 
     def body(_, st):
         x, z, y = st

@@ -5,14 +5,16 @@ node + Gazebo, launch/whole_body_controller.launch:9-25) collapsed into a
 single XLA program: no topic hops, no threads, no races — the asynchronous
 400 Hz / 100 Hz coupling is reproduced by ticking the planner every
 `control_rate * planner_dt` control steps with zero-order-held references
-(last-writer-wins, exactly the ROS queue-size-semantics of cpp:49).
+(last-writer-wins, exactly the ROS queue-size semantics of cpp:49).
 
-vmap over the leading axis of (sim_state, command sequence) runs a scenario
-batch; shard the batch over a Mesh for multi-chip sweeps (parallel/).
+The planner is pluggable (static walk — planner/gait.py; trot —
+planner/trot.py); vmap over the leading axis of (carry, commands) runs a
+scenario batch; shard the batch over a Mesh for multi-chip sweeps
+(parallel/).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import Any, Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +33,7 @@ from quadrupedwholebodycontroller_tpu.sim import world
 class RolloutCarry(NamedTuple):
     sim: world.SimState
     wbc: wbc.WBCCarry
-    planner: gait.PlannerState
+    planner: Any               # planner-specific state pytree
     ref: wbc.Reference
 
 
@@ -56,13 +58,15 @@ class RolloutTrace(NamedTuple):
 def init_rollout_carry(
     model: RobotModel,
     cparams: ControllerParams,
-    pparams: PlannerParams,
+    pparams: PlannerParams | None = None,
     dtype=jnp.float32,
     z_offset: float = 0.05,
+    planner_state: Any = None,
 ) -> RolloutCarry:
     """Start from the reference's reset pose: hard-coded joint angles, base at
 
-    the reference z + offset, zero velocity (resetRobotSimState, cpp:579-606)."""
+    the reference z + offset, zero velocity (resetRobotSimState, cpp:579-606).
+    Pass planner_state to use a non-default planner (e.g. trot)."""
     from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
     base_p = jnp.asarray(
@@ -73,34 +77,35 @@ def init_rollout_carry(
         ],
         dtype,
     )
+    if planner_state is None:
+        planner_state = gait.init_planner_state(pparams or PlannerParams(), dtype)
     return RolloutCarry(
         sim=world.init_sim_state(model, base_p, jnp.asarray(INITIAL_JOINT_POS, dtype), dtype),
         wbc=wbc.init_carry(dtype),
-        planner=gait.init_planner_state(pparams, dtype),
+        planner=planner_state,
         ref=wbc.Reference.standing(cparams, dtype),
     )
 
 
-def closed_loop_rollout(
+def rollout(
     model: RobotModel,
     cparams: ControllerParams,
-    pparams: PlannerParams,
     qparams: QPSolverParams,
     sparams: world.SimParams,
+    planner_fn: Callable,  # (state, cmd) -> (state, Reference, published)
+    planner_ratio: int,    # control steps per planner tick
     carry: RolloutCarry,
-    commands,  # (T, 3) [vx, vy, yaw_rate] per control step (the /cmd_vel feed)
+    commands,              # (T, 3) [vx, vy, yaw_rate] per control step
 ):
-    """Run T control steps; returns (carry, RolloutTrace)."""
-    ratio = int(round(cparams.loop_rate * pparams.dt))  # control steps per planner tick
+    """Run T control steps with an arbitrary ticked planner."""
 
     def step(carry: RolloutCarry, xs):
         k, cmd = xs
-        # planner ticks every `ratio` control steps (100 Hz vs 400 Hz)
-        tick = (k % ratio) == 0
+        tick = (k % planner_ratio) == 0
 
         def do_tick(args):
             pstate, ref = args
-            pstate, new_ref, published = gait.planner_step(pparams, pstate, cmd)
+            pstate, new_ref, published = planner_fn(pstate, cmd)
             ref = jax.tree.map(lambda n, o: jnp.where(published, n, o), new_ref, ref)
             return pstate, ref, published
 
@@ -135,3 +140,41 @@ def closed_loop_rollout(
     T = commands.shape[0]
     ks = jnp.arange(T, dtype=jnp.int32)
     return jax.lax.scan(step, carry, (ks, commands))
+
+
+def closed_loop_rollout(
+    model: RobotModel,
+    cparams: ControllerParams,
+    pparams: PlannerParams,
+    qparams: QPSolverParams,
+    sparams: world.SimParams,
+    carry: RolloutCarry,
+    commands,
+):
+    """Static-walk closed loop (the reference's configuration)."""
+    ratio = int(round(cparams.loop_rate * pparams.dt))
+    return rollout(
+        model, cparams, qparams, sparams,
+        lambda s, c: gait.planner_step(pparams, s, c),
+        ratio, carry, commands,
+    )
+
+
+def trot_rollout(
+    model: RobotModel,
+    cparams: ControllerParams,
+    tparams,  # planner.trot.TrotParams
+    qparams: QPSolverParams,
+    sparams: world.SimParams,
+    carry: RolloutCarry,
+    commands,
+):
+    """Trot closed loop (planner ticked every control step)."""
+    from quadrupedwholebodycontroller_tpu.planner import trot
+
+    ratio = max(1, int(round(cparams.loop_rate * tparams.dt)))
+    return rollout(
+        model, cparams, qparams, sparams,
+        lambda s, c: trot.trot_step(tparams, s, c),
+        ratio, carry, commands,
+    )

@@ -1,0 +1,97 @@
+"""Offline trajectory analysis — the scripts/plot_bag.py replacement.
+
+Renders the same panel set the reference's bag plotter produces
+(/root/reference/scripts/plot_bag.py:144-205): per-leg joint positions,
+base/CoM pose (xyz + rpy), commanded torques, and desired vertical GRFs —
+but from RolloutTrace arrays (or a saved .npz / native trajlog) instead of
+a rosbag.  Skips an initial transient like the reference (default 3 s,
+plot_bag.py:9).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LEG_NAMES = ("LH", "LF", "RF", "RH")
+JOINT_SUFFIX = ("HAA", "HFE", "KFE")
+
+
+def trace_to_arrays(trace) -> dict:
+    """RolloutTrace (numpy or jax leaves) -> dict of numpy arrays."""
+    return {k: np.asarray(v) for k, v in trace._asdict().items()}
+
+
+def save_trace(path: str, trace, control_rate: float = 400.0):
+    arrs = trace_to_arrays(trace)
+    arrs["control_rate"] = np.asarray(control_rate)
+    np.savez_compressed(path, **arrs)
+
+
+def load_trace(path: str) -> dict:
+    with np.load(path) as f:
+        return {k: f[k] for k in f.files}
+
+
+def plot_run(arrs: dict, skip_seconds: float = 3.0, control_rate: float = 400.0,
+             out_path: str | None = None, show: bool = False):
+    """The four reference panels.  arrs: dict from trace_to_arrays/load_trace."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    rate = float(arrs.get("control_rate", control_rate))
+    skip = int(skip_seconds * rate)
+    T = arrs["q"].shape[0]
+    skip = min(skip, max(0, T - 2))
+    t = np.arange(T)[skip:] / rate
+
+    fig, axes = plt.subplots(2, 2, figsize=(14, 9))
+
+    # 1) joint positions per leg (plot_bag.py joint panel)
+    ax = axes[0, 0]
+    q = arrs["q"][skip:]
+    for leg in range(4):
+        for j in range(3):
+            ax.plot(t, q[:, 3 * leg + j],
+                    label=f"{LEG_NAMES[leg]}_{JOINT_SUFFIX[j]}", lw=0.8)
+    ax.set_title("joint positions [rad]")
+    ax.legend(ncol=4, fontsize=6)
+
+    # 2) CoM/base pose xyz + rpy (plot_bag.py base pose panel)
+    ax = axes[0, 1]
+    pose = arrs["com_pose"][skip:]
+    ref = arrs.get("ref_com_pose")
+    for i, lbl in enumerate(["x", "y", "z", "roll", "pitch", "yaw"]):
+        ax.plot(t, pose[:, i], label=lbl, lw=0.9)
+        if ref is not None:
+            ax.plot(t, ref[skip:, i], ls="--", lw=0.6, color=ax.lines[-1].get_color())
+    ax.set_title("CoM pose (solid) vs reference (dashed)")
+    ax.legend(ncol=3, fontsize=7)
+
+    # 3) commanded torques (plot_bag.py torque panel)
+    ax = axes[1, 0]
+    tau = arrs["tau"][skip:]
+    for i in range(12):
+        ax.plot(t, tau[:, i], lw=0.6)
+    ax.axhline(80, color="r", ls=":", lw=0.8)
+    ax.axhline(-80, color="r", ls=":", lw=0.8)
+    ax.set_title("commanded torques [N m]")
+
+    # 4) desired vertical GRFs per leg (plot_bag.py GRF panel)
+    ax = axes[1, 1]
+    grf = arrs["grf"][skip:].reshape(len(t), 4, 3)
+    for leg in range(4):
+        ax.plot(t, grf[:, leg, 2], label=LEG_NAMES[leg], lw=0.9)
+    ax.set_title("desired vertical GRFs [N]")
+    ax.legend(fontsize=7)
+
+    for ax in axes.flat:
+        ax.set_xlabel("t [s]")
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    if show:
+        plt.show()
+    return fig

@@ -48,7 +48,7 @@ def test_standing_regulation_f64():
     weight = 51.63574 * GRAVITY
     grf_z = tr.grf[-1].reshape(4, 3)[:, 2].sum()
     assert np.isclose(grf_z, weight, rtol=0.05)
-    assert np.abs(tr.tau).max() <= 80.0 + 1e-6
+    assert np.abs(tr.tau).max() <= 80.0 + 1e-3
 
 
 def test_walking_f64():
@@ -58,7 +58,7 @@ def test_walking_f64():
     assert tr.qp_kkt.max() < 1e-3
     assert tr.com_pos[:, 2].min() > 0.4      # never collapses
     assert tr.com_pos[-1, 0] > 0.01          # makes forward progress
-    assert np.abs(tr.tau).max() <= 80.0 + 1e-6
+    assert np.abs(tr.tau).max() <= 80.0 + 1e-3
     # contact schedule reached swing phases
     assert tr.contacts.min() == 0.0
 
