@@ -192,21 +192,26 @@ def cmd_sweep(args):
     )
     from quadrupedwholebodycontroller_tpu.sim.rollout import init_rollout_carry
 
+    from quadrupedwholebodycontroller_tpu.sim.scenario import Scenario
+
     s = _setup(args)
     mesh = make_mesh()
     B = args.batch
     T = int(args.seconds * s["cp"].loop_rate)
     carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
     bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry)
-    # scenario spread: forward velocity commands in [0, 0.8]
+    # scenario spread: velocity commands x friction x payload x pushes
     key = jax.random.PRNGKey(args.seed)
-    vx = jax.random.uniform(key, (B,), s["dtype"], 0.0, 0.8)
+    kv, ks = jax.random.split(key)
+    vx = jax.random.uniform(kv, (B,), s["dtype"], 0.0, 0.8)
     cmds = jnp.zeros((B, T, 3), s["dtype"]).at[:, 40:, 0].set(vx[:, None])
+    scen = Scenario.random_batch(ks, B, T, s["dtype"])
     step = sharded_sweep_step(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], mesh)
     bcarry = shard_batch(bcarry, mesh)
     cmds = shard_batch(cmds, mesh)
+    scen = shard_batch(scen, mesh)
     t0 = time.time()
-    _, metrics = step(bcarry, cmds)
+    _, metrics = step(bcarry, cmds, scen)
     jax.block_until_ready(metrics.mean_kkt)
     dt = time.time() - t0
     print(

@@ -72,13 +72,18 @@ def sharded_sweep_step(
 
     (batched carry, SweepMetrics).  Batch axis must divide the mesh size."""
 
-    def shard_fn(carry, commands):
+    from quadrupedwholebodycontroller_tpu.sim.scenario import apply_payload
+
+    def one(carry, commands, scenario):
+        sim_model = apply_payload(model, scenario.payload_mass, scenario.payload_com)
+        return closed_loop_rollout(
+            model, cparams, pparams, qparams, sparams, carry, commands,
+            scenario, sim_model,
+        )
+
+    def shard_fn(carry, commands, scenario):
         # vmap over the local shard of scenarios
-        carry, trace = jax.vmap(
-            lambda c, x: closed_loop_rollout(
-                model, cparams, pparams, qparams, sparams, c, x
-            )
-        )(carry, commands)
+        carry, trace = jax.vmap(one)(carry, commands, scenario)
         metrics = sweep_metrics(trace)
         return carry, metrics
 
@@ -87,8 +92,20 @@ def sharded_sweep_step(
     fn = jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(spec, spec),
+        in_specs=(spec, spec, spec),
         out_specs=(spec, rep),
         check_vma=False,
     )
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+
+    def run(carry, commands, scenario=None):
+        if scenario is None:
+            # build a nominal scenario batch so specs stay uniform
+            from quadrupedwholebodycontroller_tpu.sim.scenario import Scenario
+
+            B, T = commands.shape[0], commands.shape[1]
+            nom = Scenario.nominal(T, sparams.friction, commands.dtype)
+            scenario = jax.tree.map(lambda x: jnp.stack([x] * B), nom)
+        return jitted(carry, commands, scenario)
+
+    return run

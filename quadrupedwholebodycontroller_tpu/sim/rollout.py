@@ -96,11 +96,19 @@ def rollout(
     planner_ratio: int,    # control steps per planner tick
     carry: RolloutCarry,
     commands,              # (T, 3) [vx, vy, yaw_rate] per control step
+    scenario=None,         # sim/scenario.py Scenario (world perturbations)
+    sim_model: RobotModel | None = None,  # perturbed model for the PHYSICS
 ):
-    """Run T control steps with an arbitrary ticked planner."""
+    """Run T control steps with an arbitrary ticked planner.
+
+    The controller always uses the nominal `model`; pass `sim_model` (e.g.
+    with a payload, scenario.apply_payload) to simulate model mismatch."""
+    if sim_model is None:
+        sim_model = model
+    friction = scenario.sim_friction if scenario is not None else None
 
     def step(carry: RolloutCarry, xs):
-        k, cmd = xs
+        k, cmd, push = xs
         tick = (k % planner_ratio) == 0
 
         def do_tick(args):
@@ -121,7 +129,9 @@ def rollout(
         out, wcarry = wbc.wbc_step(
             model, cparams, qparams, obs, ref, carry.wbc, ref_is_new
         )
-        sim = world.sim_control_period(model, carry.sim, out.tau, sparams)
+        sim = world.sim_control_period(
+            sim_model, carry.sim, out.tau, sparams, friction, push
+        )
 
         trace = RolloutTrace(
             com_pos=out.com_pos,
@@ -139,7 +149,12 @@ def rollout(
 
     T = commands.shape[0]
     ks = jnp.arange(T, dtype=jnp.int32)
-    return jax.lax.scan(step, carry, (ks, commands))
+    pushes = (
+        scenario.push_wrench
+        if scenario is not None
+        else jnp.zeros((T, 6), commands.dtype)
+    )
+    return jax.lax.scan(step, carry, (ks, commands, pushes))
 
 
 def closed_loop_rollout(
@@ -150,13 +165,15 @@ def closed_loop_rollout(
     sparams: world.SimParams,
     carry: RolloutCarry,
     commands,
+    scenario=None,
+    sim_model: RobotModel | None = None,
 ):
     """Static-walk closed loop (the reference's configuration)."""
     ratio = int(round(cparams.loop_rate * pparams.dt))
     return rollout(
         model, cparams, qparams, sparams,
         lambda s, c: gait.planner_step(pparams, s, c),
-        ratio, carry, commands,
+        ratio, carry, commands, scenario, sim_model,
     )
 
 
@@ -168,6 +185,8 @@ def trot_rollout(
     sparams: world.SimParams,
     carry: RolloutCarry,
     commands,
+    scenario=None,
+    sim_model: RobotModel | None = None,
 ):
     """Trot closed loop (planner ticked every control step)."""
     from quadrupedwholebodycontroller_tpu.planner import trot
@@ -176,5 +195,5 @@ def trot_rollout(
     return rollout(
         model, cparams, qparams, sparams,
         lambda s, c: trot.trot_step(tparams, s, c),
-        ratio, carry, commands,
+        ratio, carry, commands, scenario, sim_model,
     )

@@ -79,8 +79,10 @@ def observe(state: SimState):
     )
 
 
-def _contact_forces(model, kin, u, anchor, params: SimParams):
+def _contact_forces(model, kin, u, anchor, params: SimParams, friction=None):
     """Returns ((4,3) world GRFs at the feet, (4,2) updated anchors)."""
+    if friction is None:
+        friction = params.friction
     foot_p = kin.frame_p                       # (4, 3)
     foot_v = K.frame_velocities(model, kin, u)[:, :3]
     pen = -foot_p[:, 2]                        # penetration depth (>0 below ground)
@@ -90,7 +92,7 @@ def _contact_forces(model, kin, u, anchor, params: SimParams):
 
     xy = foot_p[:, :2]
     raw = -params.tangential_stiffness * (xy - anchor) - params.tangential_damping * foot_v[:, :2]
-    cap = params.friction * fz
+    cap = friction * fz
     raw_norm = jnp.sqrt(jnp.sum(raw * raw, axis=1) + 1e-12)
     scale = jnp.minimum(1.0, cap / raw_norm)
     ft = raw * scale[:, None] * in_contact[:, None]
@@ -105,14 +107,19 @@ def _contact_forces(model, kin, u, anchor, params: SimParams):
     return jnp.concatenate([ft, fz[:, None]], axis=1), new_anchor
 
 
-def _substep(model, state: SimState, tau, params: SimParams):
+def _substep(model, state: SimState, tau, params: SimParams, friction=None,
+             push_wrench=None):
     kin = K.forward_kinematics(model, state.base_R, state.base_p, state.q)
     J_feet = K.frame_jacobians(model, kin)[:, :3, :]   # (4, 3, 18)
-    f, anchor = _contact_forces(model, kin, state.u, state.anchor, params)
+    f, anchor = _contact_forces(model, kin, state.u, state.anchor, params, friction)
     tau_contact = jnp.einsum("fij,fi->j", J_feet, f)
     tau_gen = jnp.concatenate(
         [jnp.zeros(6, tau.dtype), tau - params.joint_damping * state.u[6:]]
     )
+    if push_wrench is not None:
+        # external wrench applied at the base origin (mixed coordinates:
+        # its generalized force is just the first six entries)
+        tau_gen = tau_gen.at[:6].add(push_wrench)
     udot = D.forward_dynamics(
         model, state.base_R, state.base_p, state.q, state.u, tau_gen + tau_contact
     )
@@ -129,11 +136,15 @@ def _substep(model, state: SimState, tau, params: SimParams):
     )
 
 
-def sim_control_period(model: RobotModel, state: SimState, tau, params: SimParams):
-    """Advance one control period (ZOH torque) with `substeps` physics steps."""
+def sim_control_period(model: RobotModel, state: SimState, tau, params: SimParams,
+                       friction=None, push_wrench=None):
+    """Advance one control period (ZOH torque) with `substeps` physics steps.
+
+    friction / push_wrench are optional traced per-scenario perturbations
+    (sim/scenario.py)."""
 
     def body(st, _):
-        return _substep(model, st, tau, params), None
+        return _substep(model, st, tau, params, friction, push_wrench), None
 
     state, _ = jax.lax.scan(body, state, None, length=params.substeps)
     return state
