@@ -310,6 +310,52 @@ def wbc_setup(
     )
 
 
+def _finish_step(setup: WBCSetup, qp_state, qp_info, carry: WBCCarry):
+    """Torque mapping + carry assembly (computeJointTorques, cpp:553-577)."""
+    qdd = qp_state.x[6:18]
+    grf = qp_state.x[18:30]
+    tau = setup.Mc_jj @ qdd + setup.h_c[6:] - setup.Jc_st_j.T @ grf
+    out = WBCOutput(
+        tau=tau, grf=grf, qp_x=qp_state.x, qp_info=qp_info,
+        com_pos=setup.com, com_pose=setup.current_pose, foot_pos=setup.foot_pos,
+    )
+    new_carry = WBCCarry(qp_warm=qp_state, **setup.carry_updates)
+    return out, new_carry
+
+
+def _switch_masked_warm(carry: WBCCarry, switch):
+    """On a contact switch the carried duals refer to re-masked constraint
+
+    rows (a different problem); keep the primal warm start but drop z/y."""
+    return qp.QPState(
+        x=carry.qp_warm.x,
+        z=jnp.where(switch, jnp.zeros_like(carry.qp_warm.z), carry.qp_warm.z),
+        y=jnp.where(switch, jnp.zeros_like(carry.qp_warm.y), carry.qp_warm.y),
+    )
+
+
+def wbc_step_batched(
+    model: RobotModel,
+    params: ControllerParams,
+    qp_params: QPSolverParams,
+    obs: RobotObservation,
+    ref: Reference,
+    carry: WBCCarry,
+    ref_is_new=True,
+    qp_backend: str = "xla",
+):
+    """Batched control cycle: vmapped state update / assembly around a
+
+    batch-level QP solve, so the solver backend ("pallas" for the
+    VMEM-resident ADMM kernel) sees the whole scenario batch at once."""
+    setup = jax.vmap(
+        lambda o, r, c: wbc_setup(model, params, o, r, c, ref_is_new)
+    )(obs, ref, carry)
+    warm = jax.vmap(_switch_masked_warm)(carry, setup.carry_updates["switch_flag"])
+    qp_state, qp_info = qp.solve_batched(setup.qp_data, warm, qp_params, qp_backend)
+    return jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
+
+
 def wbc_step(
     model: RobotModel,
     params: ControllerParams,
@@ -324,25 +370,6 @@ def wbc_step(
     message (the contact-switch flag is only re-evaluated then, matching the
     referenceCallback semantics at cpp:176-184)."""
     setup = wbc_setup(model, params, obs, ref, carry, ref_is_new)
-
-    # on a contact switch the carried duals refer to re-masked constraint
-    # rows (a different problem); keep the primal warm start but drop z/y
-    switch = setup.carry_updates["switch_flag"]
-    warm = qp.QPState(
-        x=carry.qp_warm.x,
-        z=jnp.where(switch, jnp.zeros_like(carry.qp_warm.z), carry.qp_warm.z),
-        y=jnp.where(switch, jnp.zeros_like(carry.qp_warm.y), carry.qp_warm.y),
-    )
+    warm = _switch_masked_warm(carry, setup.carry_updates["switch_flag"])
     qp_state, qp_info = qp.solve(setup.qp_data, warm, qp_params)
-
-    # ---- torque mapping (computeJointTorques, cpp:553-577) ----
-    qdd = qp_state.x[6:18]
-    grf = qp_state.x[18:30]
-    tau = setup.Mc_jj @ qdd + setup.h_c[6:] - setup.Jc_st_j.T @ grf
-
-    out = WBCOutput(
-        tau=tau, grf=grf, qp_x=qp_state.x, qp_info=qp_info,
-        com_pos=setup.com, com_pose=setup.current_pose, foot_pos=setup.foot_pos,
-    )
-    new_carry = WBCCarry(qp_warm=qp_state, **setup.carry_updates)
-    return out, new_carry
+    return _finish_step(setup, qp_state, qp_info, carry)

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel for the batched ADMM iteration loop.
+
+The qpOASES replacement's hot loop (ops/qp.py) as a hand-placed kernel:
+each grid step loads one batch tile's problem data (K^{-1}, A, g, l, u, rho,
+warm start) into VMEM once and runs ALL ADMM iterations on-chip, so HBM
+traffic is O(1) per solve instead of O(iterations) — the design the
+100k-solves/s BASELINE target calls for.
+
+Data layout is batch-minor ("structure of arrays"): every per-problem
+matrix/vector keeps its own dims leading and the scenario batch as the LAST
+dim, mapped onto the 128-wide lane axis, so each scalar op in the update
+equations is one VPU vector op over a full tile of scenarios.  Matvecs
+lower to sublane reductions of (rows, cols, lanes) products.
+
+The wrapper (solve_tile / admm_iterations) takes batch-major inputs,
+transposes at the boundary, pads the batch to the tile size, and returns
+batch-major iterates.  Equality/infinity handling, Ruiz scaling and the
+active-set polish live in ops/qp.py — this kernel is exactly the fixed-point
+loop.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 128
+
+
+def _admm_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
+                 x0_ref, z0_ref, y0_ref, xo_ref, zo_ref, yo_ref,
+                 *, iters: int, sigma: float, alpha: float):
+    A = A_ref[:]          # (m, n, Bt)
+    Kinv = Kinv_ref[:]    # (n, n, Bt)
+    g = g_ref[:]          # (n, Bt)
+    l = l_ref[:]          # (m, Bt)
+    u = u_ref[:]
+    rho = rho_ref[:]
+    inv_rho = 1.0 / rho
+
+    def body(_, st):
+        x, z, y = st
+        t = rho * z - y                                            # (m, Bt)
+        rhs = sigma * x - g + jnp.sum(A * t[:, None, :], axis=0)   # (n, Bt)
+        x_t = jnp.sum(Kinv * rhs[None, :, :], axis=1)              # (n, Bt)
+        z_t = jnp.sum(A * x_t[None, :, :], axis=1)                 # (m, Bt)
+        x_n = alpha * x_t + (1.0 - alpha) * x
+        z_rel = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_rel + y * inv_rho, l, u)
+        y_n = y + rho * (z_rel - z_n)
+        return (x_n, z_n, y_n)
+
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:])
+    )
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
+)
+def admm_iterations(Kinv, A, g, l, u, rho, x0, z0, y0,
+                    *, iters: int, sigma: float, alpha: float,
+                    interpret: bool = False):
+    """Run `iters` ADMM iterations for a batch of QPs.
+
+    Batch-major inputs: Kinv (B,n,n), A (B,m,n), g (B,n), l/u/rho (B,m),
+    warm iterates x0 (B,n), z0/y0 (B,m).  Returns (x, z, y) batch-major.
+    Infinite bounds are clamped to +-1e20 before entering the kernel (the
+    qpOASES INFTY convention) to keep the lane arithmetic finite."""
+    B, m, n = A.shape
+    dtype = A.dtype
+    Bt = LANE_TILE
+    Bp = -(-B // Bt) * Bt
+
+    big = jnp.asarray(1e20, dtype)
+    l = jnp.clip(l, -big, big)
+    u = jnp.clip(u, -big, big)
+
+    def to_tile(arr, trailing):
+        """(B, *dims) -> (*dims, Bp) batch-minor with zero padding."""
+        pad = [(0, Bp - B)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad)
+        perm = tuple(range(1, arr.ndim)) + (0,)
+        return jnp.transpose(arr, perm)
+
+    Kinv_t = to_tile(Kinv, 2)
+    A_t = to_tile(A, 2)
+    g_t = to_tile(g, 1)
+    l_t = to_tile(l, 1)
+    u_t = to_tile(u, 1)
+    rho_t = to_tile(rho, 1)
+    # pad rho with ones so padded lanes never divide by zero
+    if Bp != B:
+        rho_t = rho_t.at[:, B:].set(1.0)
+    x0_t = to_tile(x0, 1)
+    z0_t = to_tile(z0, 1)
+    y0_t = to_tile(y0, 1)
+
+    grid = (Bp // Bt,)
+    mat_spec = lambda d0, d1: pl.BlockSpec(
+        (d0, d1, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = lambda d0: pl.BlockSpec(
+        (d0, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _admm_kernel, iters=iters, sigma=float(sigma), alpha=float(alpha)
+    )
+    xo, zo, yo = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            mat_spec(n, n), mat_spec(m, n), vec_spec(n),
+            vec_spec(m), vec_spec(m), vec_spec(m),
+            vec_spec(n), vec_spec(m), vec_spec(m),
+        ],
+        out_specs=(vec_spec(n), vec_spec(m), vec_spec(m)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(Kinv_t, A_t, g_t, l_t, u_t, rho_t, x0_t, z0_t, y0_t)
+
+    back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
+    return back(xo), back(zo), back(yo)

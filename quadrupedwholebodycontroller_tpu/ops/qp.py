@@ -111,7 +111,12 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams):
     )
     S = jnp.concatenate([top, bottom], axis=0)
     rhs = jnp.concatenate([-data.g, da * b], axis=0)
-    sol = jnp.linalg.solve(S, rhs)
+    lu, piv = jax.scipy.linalg.lu_factor(S)
+    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
+    # iterative refinement: recovers the digits f32 LU loses (the TPU dtype)
+    for _ in range(2):
+        r = rhs - S @ sol
+        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
     return QPState(x=sol[:n], z=jnp.clip(data.A @ sol[:n], data.l, data.u), y=sol[n:])
 
 
@@ -173,9 +178,12 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     # materialize the problem data before the iteration loop: without this
     # barrier XLA may fuse the (large) upstream assembly graph into the loop
     # body and recompute it every iteration
-    sdata, rho, K_fac, warm_s = jax.lax.optimization_barrier(
-        (sdata, rho, K_fac, warm_s)
-    )
+    import os as _os
+
+    if _os.environ.get("QWBC_QP_BARRIER", "1") == "1":
+        sdata, rho, K_fac, warm_s = jax.lax.optimization_barrier(
+            (sdata, rho, K_fac, warm_s)
+        )
     K_chol = (K_fac, K_lower)
 
     def body(_, st):
@@ -226,6 +234,81 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     return best, info
 
 
-def solve_batched(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()):
-    """vmapped solve over a leading batch axis on every leaf."""
-    return jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
+def solve_batched(
+    data: QPData,
+    warm: QPState,
+    params: QPSolverParams = QPSolverParams(),
+    backend: str = "xla",
+):
+    """Batched solve over a leading batch axis on every leaf.
+
+    backend="xla":    vmap of the single-sample solve.
+    backend="pallas": Ruiz scaling / K^{-1} / polish stay in XLA (batched
+      linalg), the ADMM iteration loop runs in the Pallas VMEM-resident
+      kernel (ops/pallas/qp_kernel.py)."""
+    if backend == "xla":
+        return jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
+    if backend != "pallas":
+        raise ValueError(backend)
+
+    from quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel import (
+        admm_iterations,
+    )
+
+    n = data.H.shape[-1]
+    dtype = data.H.dtype
+
+    def prepare(d, w):
+        if params.scaling_iters > 0:
+            dd, e = _ruiz_equilibrate(d, params.scaling_iters)
+        else:
+            dd = jnp.ones((n,), dtype)
+            e = jnp.ones((d.A.shape[0],), dtype)
+        sd = QPData(
+            H=dd[:, None] * d.H * dd[None, :],
+            g=dd * d.g,
+            A=e[:, None] * d.A * dd[None, :],
+            l=e * d.l,
+            u=e * d.u,
+        )
+        ws = QPState(x=w.x / dd, z=w.z * e, y=w.y / e)
+        rho = _rho_vec(sd, params)
+        K = sd.H + params.sigma * jnp.eye(n, dtype=dtype) + (sd.A.T * rho) @ sd.A
+        return sd, ws, rho, K, dd, e
+
+    sdata, warm_s, rho, K, dscale, escale = jax.vmap(prepare)(data, warm)
+    Kinv = jnp.linalg.inv(K)
+    # two Newton-Schulz refinements: the kernel applies K^{-1} by matmul, so
+    # its f32 accuracy sets the ADMM fixed point; X <- X(2I - KX) squares the
+    # inverse error at the cost of four batched 42^3 matmuls (MXU-cheap)
+    eye2 = 2.0 * jnp.eye(n, dtype=dtype)
+    for _ in range(2):
+        Kinv = Kinv @ (eye2 - K @ Kinv)
+    x, z, y = admm_iterations(
+        Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
+        warm_s.x, warm_s.z, warm_s.y,
+        iters=params.iterations, sigma=params.sigma, alpha=params.alpha,
+    )
+    admm = QPState(x=dscale * x, z=z / escale, y=escale * y)
+
+    def finish(d, st):
+        def residuals(s):
+            pr, du = kkt_residual(d, s.x, s.y)
+            tot = jnp.maximum(pr, du)
+            return pr, du, jnp.where(jnp.isfinite(tot), tot, jnp.inf)
+
+        best = st
+        pr_b, du_b, res_b = residuals(st)
+        polished = jnp.asarray(False)
+        for _ in range(params.polish_rounds if params.polish else 0):
+            pol = _polish(d, best, params)
+            pr_p, du_p, res_p = residuals(pol)
+            ok = res_p <= res_b
+            best = jax.tree.map(lambda p, a: jnp.where(ok, p, a), pol, best)
+            pr_b = jnp.where(ok, pr_p, pr_b)
+            du_b = jnp.where(ok, du_p, du_b)
+            res_b = jnp.where(ok, res_p, res_b)
+            polished = polished | ok
+        return best, QPInfo(pr_b, du_b, res_b, polished)
+
+    return jax.vmap(finish)(data, admm)

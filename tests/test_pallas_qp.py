@@ -1,0 +1,105 @@
+"""Pallas ADMM kernel vs the XLA reference implementation (interpret mode
+
+on the CPU mesh; the same kernel compiles for TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+from quadrupedwholebodycontroller_tpu.ops import qp as qpm
+from quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel import admm_iterations
+
+
+def make_batch(rng, B=4, n=8, m=12, dtype=jnp.float32):
+    datas = []
+    for _ in range(B):
+        L = rng.normal(size=(n, n))
+        H = L @ L.T + n * np.eye(n)
+        g = rng.normal(size=n)
+        A = rng.normal(size=(m, n))
+        x0 = rng.normal(size=n) * 0.3
+        ax = A @ x0
+        l = ax - rng.uniform(0.1, 1.0, size=m)
+        u = ax + rng.uniform(0.1, 1.0, size=m)
+        l[:2] = ax[:2]; u[:2] = ax[:2]
+        l[2] = -np.inf; u[3] = np.inf
+        datas.append(qpm.QPData(*[jnp.asarray(v, dtype) for v in (H, g, A, l, u)]))
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+
+
+def xla_admm(data, warm, iters, sigma, alpha, rho_b):
+    def one(d, w, rho):
+        n = d.H.shape[0]
+        K = d.H + sigma * jnp.eye(n, dtype=d.H.dtype) + (d.A.T * rho) @ d.A
+        Kinv = jnp.linalg.inv(K)
+
+        def body(_, st):
+            x, z, y = st
+            rhs = sigma * x - d.g + d.A.T @ (rho * z - y)
+            x_t = Kinv @ rhs
+            z_t = d.A @ x_t
+            x_n = alpha * x_t + (1 - alpha) * x
+            z_rel = alpha * z_t + (1 - alpha) * z
+            z_n = jnp.clip(z_rel + y / rho, d.l, d.u)
+            y_n = y + rho * (z_rel - z_n)
+            return (x_n, z_n, y_n)
+
+        return jax.lax.fori_loop(0, iters, body, (w.x, w.z, w.y))
+
+    return jax.vmap(one)(data, warm, rho_b)
+
+
+def test_kernel_matches_xla(rng):
+    B, n, m = 4, 8, 12
+    data = make_batch(rng, B, n, m)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * B), qpm.QPState.zeros(n, m, jnp.float32)
+    )
+    iters, sigma, alpha = 50, 1e-6, 1.6
+    rho_b = jax.vmap(lambda d: qpm._rho_vec(d, QPSolverParams()))(data)
+
+    x_ref, z_ref, y_ref = xla_admm(data, warm, iters, sigma, alpha, rho_b)
+
+    K = jax.vmap(
+        lambda d, r: d.H + sigma * jnp.eye(n, dtype=jnp.float32) + (d.A.T * r) @ d.A
+    )(data, rho_b)
+    Kinv = jnp.linalg.inv(K)
+    x_p, z_p, y_p = admm_iterations(
+        Kinv, data.A, data.g, data.l, data.u, rho_b,
+        warm.x, warm.z, warm.y,
+        iters=iters, sigma=sigma, alpha=alpha, interpret=True,
+    )
+    # f32 accumulation order differs between the kernel's lane-reductions and
+    # XLA's matmuls; iterates agree to ~1e-3 relative after 50 iterations
+    assert np.allclose(np.asarray(x_p), np.asarray(x_ref), atol=5e-3), (
+        np.abs(np.asarray(x_p) - np.asarray(x_ref)).max()
+    )
+    assert np.allclose(np.asarray(z_p), np.asarray(z_ref), atol=5e-3)
+    assert np.allclose(np.asarray(y_p), np.asarray(y_ref), atol=2e-2)
+
+
+def test_kernel_convergence_on_wbc_sized_problem(rng):
+    """42x70 problems (the WBC shape): kernel iterations reach a small KKT
+
+    residual with the production settings."""
+    B, n, m = 3, 42, 70
+    data = make_batch(rng, B, n, m)
+    params = QPSolverParams()
+    rho_b = jax.vmap(lambda d: qpm._rho_vec(d, params))(data)
+    K = jax.vmap(
+        lambda d, r: d.H + params.sigma * jnp.eye(n, dtype=jnp.float32) + (d.A.T * r) @ d.A
+    )(data, rho_b)
+    Kinv = jnp.linalg.inv(K)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * B), qpm.QPState.zeros(n, m, jnp.float32)
+    )
+    x, z, y = admm_iterations(
+        Kinv, data.A, data.g, data.l, data.u, rho_b,
+        warm.x, warm.z, warm.y,
+        iters=300, sigma=params.sigma, alpha=params.alpha, interpret=True,
+    )
+    for b in range(B):
+        d = jax.tree.map(lambda v: v[b], data)
+        pr, du = qpm.kkt_residual(d, x[b], y[b])
+        assert float(pr) < 1e-2 and float(du) < 1e-1, (b, float(pr), float(du))
