@@ -158,3 +158,22 @@ def test_float32_step(model, cp):
     assert np.allclose(
         np.asarray(out32.tau), np.asarray(out64.tau), atol=5e-2
     ), np.abs(np.asarray(out32.tau) - np.asarray(out64.tau)).max()
+
+
+def test_batched_step_matches_single(model, cp):
+    """wbc_step_batched (xla backend) must reproduce vmapped wbc_step."""
+    from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+
+    obs = standing_obs(cp)
+    ref = wbc.Reference.standing(cp, jnp.float64)
+    carry = wbc.init_carry(jnp.float64)
+    B = 3
+    bobs = jax.tree.map(lambda x: jnp.stack([x] * B), obs)
+    bref = jax.tree.map(lambda x: jnp.stack([x] * B), ref)
+    bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry)
+    out_b, carry_b = wbc.wbc_step_batched(
+        model, cp, QPSolverParams(), bobs, bref, bcarry
+    )
+    out_s, _ = wbc.wbc_step(model, cp, QPSolverParams(), obs, ref, carry)
+    assert np.allclose(np.asarray(out_b.tau[0]), np.asarray(out_s.tau), atol=1e-10)
+    assert np.allclose(np.asarray(out_b.grf[2]), np.asarray(out_s.grf), atol=1e-10)
