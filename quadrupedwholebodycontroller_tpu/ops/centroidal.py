@@ -49,7 +49,11 @@ def centroidal_transform(M, com, base_p) -> CentroidalTransform:
 
     Mb = M[:6, :6]
     Mbj = M[:6, 6:]
-    X = jnp.linalg.solve(Mb, Mbj)           # Mb^{-1} Mbj  (6, nj)
+    # matmul-only SPD solve (batched LU custom calls are the hot-path cost
+    # on the target TPU stack — see ops/linalg.py)
+    from quadrupedwholebodycontroller_tpu.ops.linalg import spd_solve
+
+    X = spd_solve(Mb, Mbj, iters=25, refine=2)  # Mb^{-1} Mbj  (6, nj)
     B = adj_inv @ X                          # top-right block of T
 
     eye_j = jnp.eye(nj, dtype=dtype)

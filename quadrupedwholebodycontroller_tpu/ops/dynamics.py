@@ -108,7 +108,8 @@ def forward_dynamics(model: RobotModel, base_R, base_p, q, u, tau_gen) -> jax.Ar
     # applied gravity generalized force (field acceleration -9.81 z)
     grav = gravity_force(model, kin, jnp.array([0.0, 0.0, -9.81], dtype=u.dtype))
     rhs = tau_gen - h + grav
-    # M is SPD: Cholesky solve (batched-friendly, stable)
-    L = jnp.linalg.cholesky(M)
-    y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    # M is SPD: matmul-only solve (factorization custom calls are the
+    # dominant cost on the target TPU stack — see ops/linalg.py)
+    from quadrupedwholebodycontroller_tpu.ops.linalg import spd_solve
+
+    return spd_solve(M, rhs, iters=30, refine=2)

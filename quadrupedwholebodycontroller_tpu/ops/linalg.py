@@ -1,0 +1,95 @@
+"""Matmul-only dense linear algebra for the hot path.
+
+Profiling on the target TPU stack shows LAPACK-style custom calls (LU /
+Cholesky factorizations, triangular solves) dominate the control step by two
+orders of magnitude over the actual dynamics math — a 112x112 batched LU
+costs ~34 ms at B=1024 while all the batched dynamics fusions together cost
+a few ms.  Everything here is therefore built from batched matmuls and
+elementwise ops only (MXU/VPU native, fuses cleanly, no custom calls):
+
+  * ns_inverse      — Jacobi-preconditioned Newton-Schulz SPD inverse
+                      (X <- X(2I - A X); small eigenvalues double every
+                      iteration, so iters ~ log2(n * cond) + margin)
+  * spd_solve       — apply ns_inverse + iterative refinement
+  * solve_kkt_schur — the active-set polish system via a Schur complement
+                      with NS inverses (replaces the 112x112 LU)
+
+Accuracy: an f32 NS inverse plateaus at ~cond * eps like any f32
+factorization; the refinement loops recover the remaining digits.  In f64
+(CPU test configuration) everything converges to ~1e-14.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ns_inverse(A, iters: int = 30):
+    """Inverse of a batched SPD matrix (..., n, n) by Newton-Schulz.
+
+    Jacobi pre-scaling makes the iteration robust for stiff diagonals
+    (slack weights, mass ratios)."""
+    n = A.shape[-1]
+    d = jax.lax.rsqrt(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)) + 1e-30)
+    As = A * d[..., :, None] * d[..., None, :]
+    # safe init: X0 = As^T / (||As||_1 ||As||_inf) guarantees ||I - As X0|| < 1
+    r1 = jnp.max(jnp.sum(jnp.abs(As), axis=-1), axis=-1)  # inf-norm
+    c1 = jnp.max(jnp.sum(jnp.abs(As), axis=-2), axis=-1)  # 1-norm
+    X = As / (r1 * c1)[..., None, None]
+    eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+
+    def body(_, X):
+        return X @ (eye2 - As @ X)
+
+    X = jax.lax.fori_loop(0, iters, body, X, unroll=True)
+    return X * d[..., :, None] * d[..., None, :]
+
+
+def spd_solve(A, b, iters: int = 30, refine: int = 2):
+    """Solve A x = b (A SPD, b (..., n) or (..., n, k)) matmul-only."""
+    Ainv = ns_inverse(A, iters)
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    x = Ainv @ b
+    for _ in range(refine):
+        x = x + Ainv @ (b - A @ x)
+    return x[..., 0] if vec else x
+
+
+def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
+                    iters: int = 30, refine: int = 2):
+    """Solve the active-set KKT system matmul-only.
+
+        (1)  H x + B^T y = -g
+        (2)  B x + D y   = da * b,   D = diag(1-da) - reg*diag(da)
+
+    (active row i, da_i=1: B_i x - reg y_i = b_i — dual-regularized active
+    constraint; inactive row, da_i=0 and B_i = 0: y_i = 0.)
+    B must already be the row-masked constraint matrix (da_i * A_i), so the
+    active and inactive blocks decouple exactly.
+
+    Eliminating x = H^{-1}(-g - B^T y) gives the SPD Schur system
+        S y = -(da*b + B H^{-1} g),  S = B H^{-1} B^T + reg*diag(da) + diag(1-da)
+    solved with Newton-Schulz inverses; coupled refinement passes knock the
+    f32 residual of the full system down afterwards."""
+    mv = lambda M, v: (M @ v[..., None])[..., 0]
+    Hinv = ns_inverse(H, iters)
+    Bt = jnp.swapaxes(B, -1, -2)
+    eye_m = jnp.eye(B.shape[-2], dtype=B.dtype)
+    diag_S = reg * da + (1.0 - da)
+    S = B @ Hinv @ Bt + jnp.einsum("...i,ij->...ij", diag_S, eye_m)
+    Sinv = ns_inverse(S, iters)
+    D = (1.0 - da) - reg * da
+
+    y = mv(Sinv, -(da * b + mv(B, mv(Hinv, g))))
+    x = mv(Hinv, -g - mv(Bt, y))
+
+    for _ in range(refine):
+        r1 = -g - mv(H, x) - mv(Bt, y)
+        r2 = da * b - mv(B, x) - D * y
+        dy = mv(Sinv, mv(B, mv(Hinv, r1)) - r2)
+        dx = mv(Hinv, r1 - mv(Bt, dy))
+        x = x + dx
+        y = y + dy
+    return x, y

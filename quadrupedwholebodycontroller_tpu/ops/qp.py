@@ -104,20 +104,21 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams):
     b = jnp.where(active, b, 0.0)
     da = active.astype(dtype)
 
-    reg = params.polish_reg
-    top = jnp.concatenate([data.H + reg * jnp.eye(n, dtype=dtype), data.A.T], axis=1)
-    bottom = jnp.concatenate(
-        [da[:, None] * data.A, jnp.diag(1.0 - da) - reg * jnp.diag(da)], axis=1
+    # matmul-only Schur solve (ops/linalg.py) — batched LU custom calls cost
+    # ~34 ms at B=1024 on the target TPU stack, two orders above the math
+    from quadrupedwholebodycontroller_tpu.ops.linalg import solve_kkt_schur
+
+    x, y = solve_kkt_schur(
+        data.H + params.polish_reg * jnp.eye(n, dtype=dtype),
+        da[:, None] * data.A,
+        da,
+        data.g,
+        jnp.where(active, b, 0.0),
+        reg=params.polish_reg,
+        iters=params.ns_iters,
+        refine=2,
     )
-    S = jnp.concatenate([top, bottom], axis=0)
-    rhs = jnp.concatenate([-data.g, da * b], axis=0)
-    lu, piv = jax.scipy.linalg.lu_factor(S)
-    sol = jax.scipy.linalg.lu_solve((lu, piv), rhs)
-    # iterative refinement: recovers the digits f32 LU loses (the TPU dtype)
-    for _ in range(2):
-        r = rhs - S @ sol
-        sol = sol + jax.scipy.linalg.lu_solve((lu, piv), r)
-    return QPState(x=sol[:n], z=jnp.clip(data.A @ sol[:n], data.l, data.u), y=sol[n:])
+    return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
 
 
 def _ruiz_equilibrate(data: QPData, iters: int):
@@ -172,24 +173,18 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     sigma = jnp.asarray(params.sigma, dtype)
     alpha = jnp.asarray(params.alpha, dtype)
 
-    K = sdata.H + sigma * jnp.eye(n, dtype=dtype) + (sdata.A.T * rho) @ sdata.A
-    # one factorization per problem; iterations are then matmul-only
-    K_fac, K_lower = jax.scipy.linalg.cho_factor(K)
-    # materialize the problem data before the iteration loop: without this
-    # barrier XLA may fuse the (large) upstream assembly graph into the loop
-    # body and recompute it every iteration
-    import os as _os
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
 
-    if _os.environ.get("QWBC_QP_BARRIER", "1") == "1":
-        sdata, rho, K_fac, warm_s = jax.lax.optimization_barrier(
-            (sdata, rho, K_fac, warm_s)
-        )
-    K_chol = (K_fac, K_lower)
+    K = sdata.H + sigma * jnp.eye(n, dtype=dtype) + (sdata.A.T * rho) @ sdata.A
+    # one matmul-only inverse per problem (no factorization custom calls —
+    # a per-iteration triangular solve costs ~0.26 ms at B=1024 on the
+    # target TPU stack); iterations are then pure matmuls
+    K_inv = ns_inverse(K, params.ns_iters)
 
     def body(_, st):
         x, z, y = st
         rhs = sigma * x - sdata.g + sdata.A.T @ (rho * z - y)
-        x_t = jax.scipy.linalg.cho_solve(K_chol, rhs)
+        x_t = K_inv @ rhs
         z_t = sdata.A @ x_t
         x_n = alpha * x_t + (1.0 - alpha) * x
         z_pre = alpha * z_t + (1.0 - alpha) * z + y / rho
@@ -276,14 +271,10 @@ def solve_batched(
         K = sd.H + params.sigma * jnp.eye(n, dtype=dtype) + (sd.A.T * rho) @ sd.A
         return sd, ws, rho, K, dd, e
 
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+
     sdata, warm_s, rho, K, dscale, escale = jax.vmap(prepare)(data, warm)
-    Kinv = jnp.linalg.inv(K)
-    # two Newton-Schulz refinements: the kernel applies K^{-1} by matmul, so
-    # its f32 accuracy sets the ADMM fixed point; X <- X(2I - KX) squares the
-    # inverse error at the cost of four batched 42^3 matmuls (MXU-cheap)
-    eye2 = 2.0 * jnp.eye(n, dtype=dtype)
-    for _ in range(2):
-        Kinv = Kinv @ (eye2 - K @ Kinv)
+    Kinv = ns_inverse(K, params.ns_iters)
     x, z, y = admm_iterations(
         Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
         warm_s.x, warm_s.z, warm_s.y,

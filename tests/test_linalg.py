@@ -1,0 +1,63 @@
+"""Matmul-only linear algebra vs LAPACK-path references."""
+import jax.numpy as jnp
+import numpy as np
+
+from quadrupedwholebodycontroller_tpu.ops import linalg as L
+
+
+def spd(rng, n, cond=1e4):
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.logspace(0, np.log10(cond), n)
+    return Q @ np.diag(eigs) @ Q.T
+
+
+def test_ns_inverse_f64(rng):
+    for n, cond in [(6, 1e2), (18, 1e4), (42, 1e5), (70, 1e4)]:
+        A = jnp.asarray(spd(rng, n, cond))
+        Ainv = L.ns_inverse(A, iters=40)
+        assert np.allclose(np.asarray(A @ Ainv), np.eye(n), atol=1e-9), (n, cond)
+
+
+def test_ns_inverse_batched(rng):
+    A = jnp.stack([jnp.asarray(spd(rng, 12, 1e3)) for _ in range(5)])
+    Ainv = L.ns_inverse(A, iters=35)
+    assert np.allclose(np.asarray(A @ Ainv), np.eye(12)[None], atol=1e-10)
+
+
+def test_ns_inverse_f32(rng):
+    A = jnp.asarray(spd(rng, 42, 1e4), jnp.float32)
+    Ainv = L.ns_inverse(A, iters=30)
+    # f32 plateau ~ cond * eps
+    assert np.allclose(np.asarray(A @ Ainv), np.eye(42), atol=5e-2)
+
+
+def test_spd_solve_refinement(rng):
+    A = jnp.asarray(spd(rng, 42, 1e5))
+    x_true = jnp.asarray(rng.normal(size=42))
+    b = A @ x_true
+    x = L.spd_solve(A, b, iters=40, refine=2)
+    assert np.allclose(np.asarray(x), np.asarray(x_true), atol=1e-8)
+
+
+def test_solve_kkt_schur_vs_dense(rng):
+    """Matches the dense (LU) solution of the same regularized system."""
+    n, m = 10, 14
+    H = jnp.asarray(spd(rng, n, 1e3))
+    A = rng.normal(size=(m, n))
+    da = np.zeros(m)
+    da[[0, 3, 5, 7]] = 1.0
+    B = jnp.asarray(da[:, None] * A)
+    g = jnp.asarray(rng.normal(size=n))
+    b = jnp.asarray(rng.normal(size=m) * da)
+    reg = 1e-9
+    x, y = L.solve_kkt_schur(H, B, jnp.asarray(da), g, b, reg=reg, iters=40)
+
+    # dense reference
+    D = np.diag((1.0 - da) - reg * da)
+    S = np.block([[np.asarray(H), np.asarray(B).T], [np.asarray(B), D]])
+    rhs = np.concatenate([-np.asarray(g), da * np.asarray(b)])
+    sol = np.linalg.solve(S, rhs)
+    assert np.allclose(np.asarray(x), sol[:n], atol=1e-8)
+    assert np.allclose(np.asarray(y), sol[n:], atol=1e-8)
+    # inactive duals are (essentially) zero
+    assert np.allclose(np.asarray(y)[da == 0], 0.0, atol=1e-10)
