@@ -3,8 +3,10 @@
 
 Measures the FULL control cycle (state update, centroidal dynamics, 42x70 QP
 with warm start, torque map — everything the reference does per 400 Hz cycle
-at src/whole_body_controller.cpp:650-652) over a scenario batch, steady
-state, and prints ONE JSON line.
+at src/whole_body_controller.cpp:650-652) over a scenario batch with the
+Pallas QP backend, timed as a lax.scan of control steps inside one jit (the
+sweep execution pattern; also the only dispatch-artifact-free measurement on
+this TPU stack).  Prints ONE JSON line.
 
 vs_baseline is against the reference's engineered real-time rate: 400 WBC
 QP solves/s on a desktop CPU (config/params_controller.yaml:3 — it publishes
@@ -14,8 +16,6 @@ import json
 import os
 import sys
 import time
-
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/qwbc_jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,11 @@ from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
 def main():
     batch = int(os.environ.get("QWBC_BENCH_BATCH", "4096"))
-    reps = int(os.environ.get("QWBC_BENCH_REPS", "20"))
+    scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "5"))
+    reps = int(os.environ.get("QWBC_BENCH_REPS", "3"))
+    backend = os.environ.get("QWBC_BENCH_QP_BACKEND", "pallas")
+    if jax.default_backend() == "cpu":
+        backend = "xla"  # pallas compiles for TPU only
     dtype = jnp.float32
 
     model = anymal_d_model(dtype=dtype)
@@ -52,23 +56,22 @@ def main():
     carry = jax.tree.map(lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype))
 
     @jax.jit
-    def step(obs, ref, carry):
-        out, carry = jax.vmap(
-            lambda o, r, c: wbc.wbc_step(model, cp, qp, o, r, c)
-        )(obs, ref, carry)
-        return out.tau, out.qp_info.kkt_residual, carry
+    def multi_step(carry):
+        def body(c, _):
+            out, c2 = wbc.wbc_step_batched(model, cp, qp, obs, ref, c, True, backend)
+            return c2, (jnp.sum(out.tau), jnp.max(out.qp_info.kkt_residual))
+        c2, (ts, kk) = jax.lax.scan(body, carry, None, length=scan_len)
+        return c2, ts, kk
 
-    tau, kkt, carry = step(obs, ref, carry)
-    jax.block_until_ready(tau)
+    carry, ts, kk = multi_step(carry)
+    jax.block_until_ready(ts)
 
-    # steady-state timing with the warm-start carry threaded (the honest
-    # control-loop pattern; per-rep latency = one full batched control cycle)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        tau, kkt, carry = step(obs, ref, carry)
-        jax.block_until_ready(tau)
-        times.append(time.perf_counter() - t0)
+        carry, ts, kk = multi_step(carry)
+        jax.block_until_ready(ts)
+        times.append((time.perf_counter() - t0) / scan_len)
     times.sort()
     median = times[len(times) // 2]
     solves_per_s = batch / median

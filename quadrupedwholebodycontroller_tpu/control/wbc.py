@@ -42,6 +42,7 @@ from quadrupedwholebodycontroller_tpu.ops import dynamics as D
 from quadrupedwholebodycontroller_tpu.ops import kinematics as K
 from quadrupedwholebodycontroller_tpu.ops import qp
 from quadrupedwholebodycontroller_tpu.ops import spatial
+from quadrupedwholebodycontroller_tpu.ops.linalg import full_precision as _full_precision
 
 
 class RobotObservation(NamedTuple):
@@ -152,6 +153,7 @@ class WBCSetup(NamedTuple):
     carry_updates: dict  # fields of WBCCarry computed pre-solve
 
 
+@_full_precision
 def wbc_setup(
     model: RobotModel,
     params: ControllerParams,

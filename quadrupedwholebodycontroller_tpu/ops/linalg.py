@@ -20,45 +20,88 @@ factorization; the refinement loops recover the remaining digits.  In f64
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 
-def ns_inverse(A, iters: int = 30):
-    """Inverse of a batched SPD matrix (..., n, n) by Newton-Schulz.
+def full_precision(fn):
+    """Trace `fn` with float32-accurate matmuls.
 
-    Jacobi pre-scaling makes the iteration robust for stiff diagonals
-    (slack weights, mass ratios)."""
-    n = A.shape[-1]
+    TPUs default to bfloat16 MXU passes for f32 matmuls; Newton-Schulz and
+    iterative refinement are meaningless at bf16 accuracy, and the dynamics
+    quantities feed a QP whose solution must be torque-accurate to 1e-3."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def _cold_init(A):
+    """Safe NS start: Jacobi-scaled X0 with ||I - A X0|| < 1 guaranteed."""
     d = jax.lax.rsqrt(jnp.abs(jnp.diagonal(A, axis1=-2, axis2=-1)) + 1e-30)
     As = A * d[..., :, None] * d[..., None, :]
-    # safe init: X0 = As^T / (||As||_1 ||As||_inf) guarantees ||I - As X0|| < 1
     r1 = jnp.max(jnp.sum(jnp.abs(As), axis=-1), axis=-1)  # inf-norm
     c1 = jnp.max(jnp.sum(jnp.abs(As), axis=-2), axis=-1)  # 1-norm
-    X = As / (r1 * c1)[..., None, None]
+    # expressed in UNSCALED coordinates: inv(A) = d inv(As) d
+    return As * (d[..., :, None] * d[..., None, :]) / (r1 * c1)[..., None, None]
+
+
+@full_precision
+def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 8):
+    """Inverse of a batched SPD matrix (..., n, n) by Newton-Schulz.
+
+    With `warm` (an approximate inverse from a nearby problem — the carried
+    control-cycle hotstart), quadratic convergence needs only `warm_iters`
+    iterations; a divergence safeguard (||I - A W||_inf >= 0.9) falls back
+    to the cold Jacobi-scaled start per batch element."""
+    n = A.shape[-1]
     eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
+    X = _cold_init(A)
+    if warm is not None:
+        E = jnp.eye(n, dtype=A.dtype) - A @ warm
+        err = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
+        ok = (err < 0.9)[..., None, None]
+        X = jnp.where(ok, warm, X)
+        iters = warm_iters
 
     def body(_, X):
-        return X @ (eye2 - As @ X)
+        return X @ (eye2 - A @ X)
 
-    X = jax.lax.fori_loop(0, iters, body, X, unroll=True)
-    return X * d[..., :, None] * d[..., None, :]
+    return jax.lax.fori_loop(0, iters, body, X, unroll=True)
 
 
+@full_precision
 def spd_solve(A, b, iters: int = 30, refine: int = 2):
-    """Solve A x = b (A SPD, b (..., n) or (..., n, k)) matmul-only."""
-    Ainv = ns_inverse(A, iters)
+    """Solve A x = b (A SPD, b (..., n) or (..., n, k)).
+
+    On CPU (the test configuration) LAPACK Cholesky is fast and exact, so it
+    is used directly; on accelerators the matmul-only Newton-Schulz path
+    avoids the pathologically slow factorization custom calls."""
     vec = b.ndim == A.ndim - 1
     if vec:
         b = b[..., None]
+    if jax.default_backend() == "cpu":
+        c, low = jax.scipy.linalg.cho_factor(A) if A.ndim == 2 else (None, None)
+        if c is not None:
+            x = jax.scipy.linalg.cho_solve((c, low), b)
+        else:
+            x = jnp.linalg.solve(A, b)
+        return x[..., 0] if vec else x
+    Ainv = ns_inverse(A, iters)
     x = Ainv @ b
     for _ in range(refine):
         x = x + Ainv @ (b - A @ x)
     return x[..., 0] if vec else x
 
 
+@full_precision
 def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
-                    iters: int = 30, refine: int = 2):
+                    iters: int = 30, refine: int = 2, Hinv=None):
     """Solve the active-set KKT system matmul-only.
 
         (1)  H x + B^T y = -g
@@ -74,7 +117,8 @@ def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
     solved with Newton-Schulz inverses; coupled refinement passes knock the
     f32 residual of the full system down afterwards."""
     mv = lambda M, v: (M @ v[..., None])[..., 0]
-    Hinv = ns_inverse(H, iters)
+    if Hinv is None:
+        Hinv = ns_inverse(H, iters)
     Bt = jnp.swapaxes(B, -1, -2)
     eye_m = jnp.eye(B.shape[-2], dtype=B.dtype)
     diag_S = reg * da + (1.0 - da)

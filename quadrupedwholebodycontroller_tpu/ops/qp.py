@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+from quadrupedwholebodycontroller_tpu.ops.linalg import full_precision as _full_precision
 
 
 class QPData(NamedTuple):
@@ -79,13 +80,16 @@ def kkt_residual(data: QPData, x, y):
     return primal, dual
 
 
-def _polish(data: QPData, state: QPState, params: QPSolverParams):
+def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None):
     """Active-set KKT solve from the ADMM active-set estimate.
 
     Unknowns (x, y); rows:  [H  A^T] [x]   [-g ]
                             [Da A  (I-Da)] [y] = [Da b]
     where Da selects active rows (b = u or l as flagged by the dual sign /
-    projection), inactive rows force y_i = 0.  Fixed shape (n+m, n+m)."""
+    projection), inactive rows force y_i = 0.  Fixed shape (n+m, n+m).
+
+    Hinv (optional): precomputed inverse of H + reg*I — H is identical
+    across polish rounds, so callers compute it once."""
     n = data.H.shape[0]
     m = data.A.shape[0]
     dtype = data.H.dtype
@@ -117,8 +121,20 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams):
         reg=params.polish_reg,
         iters=params.ns_iters,
         refine=2,
+        Hinv=Hinv,
     )
     return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
+
+
+def _polish_hinv(data: QPData, params: QPSolverParams):
+    """The round-invariant H inverse for _polish."""
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+
+    n = data.H.shape[-1]
+    return ns_inverse(
+        data.H + params.polish_reg * jnp.eye(n, dtype=data.H.dtype),
+        params.ns_iters,
+    )
 
 
 def _ruiz_equilibrate(data: QPData, iters: int):
@@ -145,6 +161,7 @@ def _ruiz_equilibrate(data: QPData, iters: int):
     return jax.lax.fori_loop(0, iters, body, (d, e))
 
 
+@_full_precision
 def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()):
     """Solve one QP; returns (QPState, QPInfo).
 
@@ -207,11 +224,12 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     best = admm
     pr_b, du_b, res_b = residuals(admm)
     polished = jnp.asarray(False)
+    Hinv_polish = _polish_hinv(data, params) if params.polish else None
     # iterated active-set polish: each round re-estimates the active set from
     # the current best iterate (Newton-like refinement; usually round 1
     # nails it and round 2 fixes one or two mis-classified constraints)
     for _ in range(params.polish_rounds if params.polish else 0):
-        pol = _polish(data, best, params)
+        pol = _polish(data, best, params, Hinv_polish)
         pr_p, du_p, res_p = residuals(pol)
         ok = res_p <= res_b
         best = jax.tree.map(lambda p, a: jnp.where(ok, p, a), pol, best)
@@ -229,6 +247,7 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     return best, info
 
 
+@_full_precision
 def solve_batched(
     data: QPData,
     warm: QPState,
@@ -291,8 +310,9 @@ def solve_batched(
         best = st
         pr_b, du_b, res_b = residuals(st)
         polished = jnp.asarray(False)
+        Hinv_polish = _polish_hinv(d, params) if params.polish else None
         for _ in range(params.polish_rounds if params.polish else 0):
-            pol = _polish(d, best, params)
+            pol = _polish(d, best, params, Hinv_polish)
             pr_p, du_p, res_p = residuals(pol)
             ok = res_p <= res_b
             best = jax.tree.map(lambda p, a: jnp.where(ok, p, a), pol, best)

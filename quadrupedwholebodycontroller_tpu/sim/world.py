@@ -27,6 +27,7 @@ from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
 from quadrupedwholebodycontroller_tpu.ops import dynamics as D
 from quadrupedwholebodycontroller_tpu.ops import kinematics as K
 from quadrupedwholebodycontroller_tpu.ops import spatial
+from quadrupedwholebodycontroller_tpu.ops.linalg import full_precision as _full_precision
 
 
 @dataclasses.dataclass(frozen=True)
@@ -136,6 +137,7 @@ def _substep(model, state: SimState, tau, params: SimParams, friction=None,
     )
 
 
+@_full_precision
 def sim_control_period(model: RobotModel, state: SimState, tau, params: SimParams,
                        friction=None, push_wrench=None):
     """Advance one control period (ZOH torque) with `substeps` physics steps.
