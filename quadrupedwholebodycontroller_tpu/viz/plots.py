@@ -95,3 +95,46 @@ def plot_run(arrs: dict, skip_seconds: float = 3.0, control_rate: float = 400.0,
     if show:
         plt.show()
     return fig
+
+
+def plot_footprints(arrs: dict, out_path: str | None = None, show: bool = False):
+    """Top-down body path + footstep markers — the RViz marker-publisher
+
+    analogue (reference src/marker_publisher.cpp draws the desired body
+    rectangle and swing-foot spheres; here we draw the realized path and
+    stance footprints from the trace)."""
+    import matplotlib
+
+    if not show:
+        matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, ax = plt.subplots(figsize=(8, 6))
+    com = arrs["com_pose"]
+    ax.plot(com[:, 0], com[:, 1], "k-", lw=1.2, label="CoM path")
+    ref = arrs.get("ref_com_pose")
+    if ref is not None:
+        ax.plot(ref[:, 0], ref[:, 1], "k--", lw=0.8, label="reference")
+    feet = arrs["foot_pos"].reshape(len(com), 4, 3)
+    contacts = arrs.get("contacts")
+    colors = ["tab:red", "tab:blue", "tab:green", "tab:orange"]
+    for leg, (name, c) in enumerate(zip(LEG_NAMES, colors)):
+        if contacts is not None:
+            stance = contacts[:, leg] > 0.5
+        else:
+            stance = np.ones(len(com), bool)
+        ax.plot(
+            feet[stance, leg, 0], feet[stance, leg, 1], ".", ms=2,
+            color=c, label=f"{name} stance",
+        )
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]"); ax.set_ylabel("y [m]")
+    ax.legend(fontsize=7)
+    ax.grid(alpha=0.3)
+    fig.tight_layout()
+    if out_path:
+        fig.savefig(out_path, dpi=120)
+    if show:
+        plt.show()
+    return fig
