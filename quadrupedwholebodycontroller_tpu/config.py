@@ -83,6 +83,7 @@ class QPSolverParams:
     alpha: float = 1.6            # over-relaxation
     scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
     ns_iters: int = 30            # Newton-Schulz iterations for matmul-only inverses
+    ns_warm_iters: int = 8        # NS iterations when restarting from a carried cache
     polish: bool = True           # active-set KKT polish after ADMM
     polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9

@@ -345,15 +345,32 @@ def wbc_step_batched(
     carry: WBCCarry,
     ref_is_new=True,
     qp_backend: str = "xla",
+    qp_cache: "qp.QPCache | None" = None,
+    cache_valid=False,
 ):
     """Batched control cycle: vmapped state update / assembly around a
 
     batch-level QP solve, so the solver backend ("pallas" for the
-    VMEM-resident ADMM kernel) sees the whole scenario batch at once."""
+    VMEM-resident ADMM kernel) sees the whole scenario batch at once.
+
+    qp_cache: optional carried factorization cache (qp.QPCache) — the
+    hotstart extended to the matmul-only inverses.  cache_valid is a scalar
+    gate (False on the first cycle); contact switches inside the batch
+    disable the warm path automatically.  Returns (out, carry, cache) when
+    a cache is passed."""
     setup = jax.vmap(
         lambda o, r, c: wbc_setup(model, params, o, r, c, ref_is_new)
     )(obs, ref, carry)
-    warm = jax.vmap(_switch_masked_warm)(carry, setup.carry_updates["switch_flag"])
+    switch = setup.carry_updates["switch_flag"]
+    warm = jax.vmap(_switch_masked_warm)(carry, switch)
+    if qp_cache is not None:
+        use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch)
+        qp_state, qp_info, new_cache = qp.solve_batched(
+            setup.qp_data, warm, qp_params, qp_backend,
+            cache=qp_cache, use_warm=use_warm,
+        )
+        out, new_carry = jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
+        return out, new_carry, new_cache
     qp_state, qp_info = qp.solve_batched(setup.qp_data, warm, qp_params, qp_backend)
     return jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
 

@@ -52,27 +52,36 @@ def _cold_init(A):
 
 
 @full_precision
-def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 8):
+def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12):
     """Inverse of a batched SPD matrix (..., n, n) by Newton-Schulz.
 
     With `warm` (an approximate inverse from a nearby problem — the carried
     control-cycle hotstart), quadratic convergence needs only `warm_iters`
-    iterations; a divergence safeguard (||I - A W||_inf >= 0.9) falls back
-    to the cold Jacobi-scaled start per batch element."""
+    iterations.  The caller is responsible for gating warm use across
+    structural problem changes (contact switches); here only true blowups
+    (non-finite or wildly divergent warm starts, ||I - A W||_inf >= 1e3)
+    fall back to the cold start — an f32 plateau on an ill-conditioned
+    matrix can legitimately show ||I - A W||_inf of a few, and NS still
+    contracts in the dominant subspace."""
     n = A.shape[-1]
     eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
     X = _cold_init(A)
     if warm is not None:
         E = jnp.eye(n, dtype=A.dtype) - A @ warm
         err = jnp.max(jnp.sum(jnp.abs(E), axis=-1), axis=-1)
-        ok = (err < 0.9)[..., None, None]
+        ok = (jnp.isfinite(err) & (err < 1e3))[..., None, None]
         X = jnp.where(ok, warm, X)
         iters = warm_iters
 
     def body(_, X):
         return X @ (eye2 - A @ X)
 
-    return jax.lax.fori_loop(0, iters, body, X, unroll=True)
+    X = jax.lax.fori_loop(0, iters, body, X, unroll=True)
+    if warm is not None:
+        # never let a blown-up iterate poison the carried cache
+        finite = jnp.all(jnp.isfinite(X), axis=(-2, -1), keepdims=True)
+        X = jnp.where(finite, X, _cold_init(A))
+    return X
 
 
 @full_precision
@@ -101,7 +110,8 @@ def spd_solve(A, b, iters: int = 30, refine: int = 2):
 
 @full_precision
 def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
-                    iters: int = 30, refine: int = 2, Hinv=None):
+                    iters: int = 30, refine: int = 2, Hinv=None,
+                    sinv_fn=None, return_sinv: bool = False):
     """Solve the active-set KKT system matmul-only.
 
         (1)  H x + B^T y = -g
@@ -123,7 +133,7 @@ def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
     eye_m = jnp.eye(B.shape[-2], dtype=B.dtype)
     diag_S = reg * da + (1.0 - da)
     S = B @ Hinv @ Bt + jnp.einsum("...i,ij->...ij", diag_S, eye_m)
-    Sinv = ns_inverse(S, iters)
+    Sinv = sinv_fn(S) if sinv_fn is not None else ns_inverse(S, iters)
     D = (1.0 - da) - reg * da
 
     y = mv(Sinv, -(da * b + mv(B, mv(Hinv, g))))
@@ -136,4 +146,6 @@ def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
         dx = mv(Hinv, r1 - mv(Bt, dy))
         x = x + dx
         y = y + dy
+    if return_sinv:
+        return x, y, Sinv
     return x, y

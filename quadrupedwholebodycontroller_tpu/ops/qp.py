@@ -59,6 +59,27 @@ class QPInfo(NamedTuple):
     polished: jax.Array         # bool: polish accepted
 
 
+class QPCache(NamedTuple):
+    """Carried factorization cache: the control-cycle hotstart extended to
+
+    the matmul-only linear algebra.  Problems change slowly at 400 Hz, so
+    Newton-Schulz restarted from last cycle's inverses converges in a few
+    (quadratic) iterations instead of the cold ~30.  Valid only while the
+    problem changes smoothly — invalidate across contact switches."""
+
+    kinv: jax.Array  # (B, n, n) inverse of the scaled ADMM matrix K
+    hinv: jax.Array  # (B, n, n) inverse of the polish H + reg I
+    sinv: jax.Array  # (B, m, m) inverse of the last polish Schur complement
+
+    @classmethod
+    def zeros(cls, B: int, n: int, m: int, dtype=jnp.float32) -> "QPCache":
+        return cls(
+            kinv=jnp.zeros((B, n, n), dtype),
+            hinv=jnp.zeros((B, n, n), dtype),
+            sinv=jnp.zeros((B, m, m), dtype),
+        )
+
+
 def _rho_vec(data: QPData, params: QPSolverParams):
     eq = (data.u - data.l) <= 1e-9
     return jnp.where(eq, params.rho * params.rho_eq_scale, params.rho)
@@ -80,7 +101,8 @@ def kkt_residual(data: QPData, x, y):
     return primal, dual
 
 
-def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None):
+def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
+            sinv_fn=None, return_sinv: bool = False):
     """Active-set KKT solve from the ADMM active-set estimate.
 
     Unknowns (x, y); rows:  [H  A^T] [x]   [-g ]
@@ -112,7 +134,7 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None):
     # ~34 ms at B=1024 on the target TPU stack, two orders above the math
     from quadrupedwholebodycontroller_tpu.ops.linalg import solve_kkt_schur
 
-    x, y = solve_kkt_schur(
+    out = solve_kkt_schur(
         data.H + params.polish_reg * jnp.eye(n, dtype=dtype),
         da[:, None] * data.A,
         da,
@@ -122,7 +144,13 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None):
         iters=params.ns_iters,
         refine=2,
         Hinv=Hinv,
+        sinv_fn=sinv_fn,
+        return_sinv=return_sinv,
     )
+    if return_sinv:
+        x, y, sinv = out
+        return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y), sinv
+    x, y = out
     return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
 
 
@@ -253,13 +281,22 @@ def solve_batched(
     warm: QPState,
     params: QPSolverParams = QPSolverParams(),
     backend: str = "xla",
+    cache: "QPCache | None" = None,
+    use_warm=None,
 ):
     """Batched solve over a leading batch axis on every leaf.
 
     backend="xla":    vmap of the single-sample solve.
     backend="pallas": Ruiz scaling / K^{-1} / polish stay in XLA (batched
       linalg), the ADMM iteration loop runs in the Pallas VMEM-resident
-      kernel (ops/pallas/qp_kernel.py)."""
+      kernel (ops/pallas/qp_kernel.py).
+
+    cache / use_warm (pallas backend): carried QPCache of last cycle's
+    inverses and a batch-level scalar gate.  When use_warm is True the
+    Newton-Schulz inverses restart from the cache with few iterations
+    (per-element safeguard falls back to a cold start); pass False on the
+    first cycle and whenever any scenario's contact set switched.  Returns
+    (state, info, new_cache) when a cache is provided."""
     if backend == "xla":
         return jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
     if backend != "pallas":
@@ -293,7 +330,25 @@ def solve_batched(
     from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
 
     sdata, warm_s, rho, K, dscale, escale = jax.vmap(prepare)(data, warm)
-    Kinv = ns_inverse(K, params.ns_iters)
+
+    def make_inv(warm_arr):
+        """NS inverse gated on the batch-level use_warm scalar."""
+        if cache is None or use_warm is None:
+            return lambda M: ns_inverse(M, params.ns_iters)
+
+        def inv(M):
+            return jax.lax.cond(
+                use_warm,
+                lambda: ns_inverse(
+                    M, params.ns_iters, warm=warm_arr,
+                    warm_iters=params.ns_warm_iters,
+                ),
+                lambda: ns_inverse(M, params.ns_iters),
+            )
+
+        return inv
+
+    Kinv = make_inv(cache.kinv if cache is not None else None)(K)
     x, z, y = admm_iterations(
         Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
         warm_s.x, warm_s.z, warm_s.y,
@@ -301,25 +356,94 @@ def solve_batched(
     )
     admm = QPState(x=dscale * x, z=z / escale, y=escale * y)
 
-    def finish(d, st):
-        def residuals(s):
-            pr, du = kkt_residual(d, s.x, s.y)
-            tot = jnp.maximum(pr, du)
-            return pr, du, jnp.where(jnp.isfinite(tot), tot, jnp.inf)
+    # polish at batch level so the cached inverses stay batched
+    n_ = data.H.shape[-1]
+    eye_n = jnp.eye(n_, dtype=dtype)
+    H_reg = data.H + params.polish_reg * eye_n
+    if params.polish:
+        Hinv_polish = make_inv(cache.hinv if cache is not None else None)(H_reg)
+    else:
+        Hinv_polish = None
+    sinv_fn = make_inv(cache.sinv if cache is not None else None) if params.polish else None
 
-        best = st
-        pr_b, du_b, res_b = residuals(st)
-        polished = jnp.asarray(False)
-        Hinv_polish = _polish_hinv(d, params) if params.polish else None
-        for _ in range(params.polish_rounds if params.polish else 0):
-            pol = _polish(d, best, params, Hinv_polish)
-            pr_p, du_p, res_p = residuals(pol)
-            ok = res_p <= res_b
-            best = jax.tree.map(lambda p, a: jnp.where(ok, p, a), pol, best)
-            pr_b = jnp.where(ok, pr_p, pr_b)
-            du_b = jnp.where(ok, du_p, du_b)
-            res_b = jnp.where(ok, res_p, res_b)
-            polished = polished | ok
-        return best, QPInfo(pr_b, du_b, res_b, polished)
+    def residuals(d, s):
+        pr, du = kkt_residual(d, s.x, s.y)
+        tot = jnp.maximum(pr, du)
+        return pr, du, jnp.where(jnp.isfinite(tot), tot, jnp.inf)
 
-    return jax.vmap(finish)(data, admm)
+    best = admm
+    pr_b, du_b, res_b = jax.vmap(residuals)(data, admm)
+    polished = jnp.zeros_like(res_b, dtype=bool)
+    sinv_last = cache.sinv if cache is not None else None
+    for _ in range(params.polish_rounds if params.polish else 0):
+        if cache is not None:
+            pol, sinv_last = _polish_batched(
+                data, best, params, Hinv_polish, sinv_fn
+            )
+        else:
+            pol = jax.vmap(lambda d, s, hv: _polish(d, s, params, hv))(
+                data, best, Hinv_polish
+            )
+        pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
+        ok = res_p <= res_b
+        oke = ok[:, None]
+        best = QPState(
+            x=jnp.where(oke, pol.x, best.x),
+            z=jnp.where(oke, pol.z, best.z),
+            y=jnp.where(oke, pol.y, best.y),
+        )
+        pr_b = jnp.where(ok, pr_p, pr_b)
+        du_b = jnp.where(ok, du_p, du_b)
+        res_b = jnp.where(ok, res_p, res_b)
+        polished = polished | ok
+    info = QPInfo(pr_b, du_b, res_b, polished)
+    if cache is not None:
+        new_cache = QPCache(
+            kinv=Kinv,
+            hinv=Hinv_polish if Hinv_polish is not None else cache.hinv,
+            sinv=sinv_last if sinv_last is not None else cache.sinv,
+        )
+        return best, info, new_cache
+    return best, info
+
+
+def _polish_batched(data, state, params, Hinv, sinv_fn):
+    """Batch-level polish: vmapped active-set assembly around the (already
+
+    batched) Schur solve, so the cached S inverse threads through."""
+    n = data.H.shape[-1]
+    dtype = data.H.dtype
+
+    def assemble(d, s):
+        ax = d.A @ s.x
+        eq = (d.u - d.l) <= 1e-9
+        tol = 1e-6
+        low = jnp.isfinite(d.l) & ((ax - d.l <= tol) | (s.y < -tol))
+        upp = jnp.isfinite(d.u) & ((d.u - ax <= tol) | (s.y > tol))
+        nz = jnp.sum(jnp.abs(d.A), axis=1) > 1e-12
+        active = (eq | low | upp) & nz
+        b = jnp.where(upp & ~low, d.u, d.l)
+        b = jnp.where(eq, d.u, b)
+        b = jnp.where(active, b, 0.0)
+        da = active.astype(dtype)
+        return da, b
+
+    da, b = jax.vmap(assemble)(data, state)
+    from quadrupedwholebodycontroller_tpu.ops.linalg import solve_kkt_schur
+
+    x, y, sinv = solve_kkt_schur(
+        data.H + params.polish_reg * jnp.eye(n, dtype=dtype),
+        da[:, :, None] * data.A,
+        da,
+        data.g,
+        b,
+        reg=params.polish_reg,
+        iters=params.ns_iters,
+        refine=2,
+        Hinv=Hinv,
+        sinv_fn=sinv_fn,
+        return_sinv=True,
+    )
+    ax = jnp.einsum("bij,bj->bi", data.A, x)
+    pol = QPState(x=x, z=jnp.clip(ax, data.l, data.u), y=y)
+    return pol, sinv
