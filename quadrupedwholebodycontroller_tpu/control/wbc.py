@@ -357,10 +357,14 @@ def wbc_step_batched(
     hotstart extended to the matmul-only inverses.  cache_valid is a scalar
     gate (False on the first cycle); contact switches inside the batch
     disable the warm path automatically.  Returns (out, carry, cache) when
-    a cache is passed."""
+    a cache is passed.
+
+    ref_is_new may be a scalar or a per-scenario (B,) array."""
+    B = obs.q.shape[0]
+    ref_is_new_b = jnp.broadcast_to(jnp.asarray(ref_is_new), (B,))
     setup = jax.vmap(
-        lambda o, r, c: wbc_setup(model, params, o, r, c, ref_is_new)
-    )(obs, ref, carry)
+        lambda o, r, c, rn: wbc_setup(model, params, o, r, c, rn)
+    )(obs, ref, carry, ref_is_new_b)
     switch = setup.carry_updates["switch_flag"]
     warm = jax.vmap(_switch_masked_warm)(carry, switch)
     if qp_cache is not None:

@@ -298,7 +298,10 @@ def solve_batched(
     first cycle and whenever any scenario's contact set switched.  Returns
     (state, info, new_cache) when a cache is provided."""
     if backend == "xla":
-        return jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
+        out = jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
+        if cache is not None:
+            return out[0], out[1], cache  # xla path keeps no factorizations
+        return out
     if backend != "pallas":
         raise ValueError(backend)
 

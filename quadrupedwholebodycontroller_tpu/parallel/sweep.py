@@ -72,18 +72,24 @@ def sharded_sweep_step(
 
     (batched carry, SweepMetrics).  Batch axis must divide the mesh size."""
 
+    from quadrupedwholebodycontroller_tpu.planner import gait
+    from quadrupedwholebodycontroller_tpu.sim.rollout import batched_rollout
     from quadrupedwholebodycontroller_tpu.sim.scenario import apply_payload
 
-    def one(carry, commands, scenario):
-        sim_model = apply_payload(model, scenario.payload_mass, scenario.payload_com)
-        return closed_loop_rollout(
-            model, cparams, pparams, qparams, sparams, carry, commands,
-            scenario, sim_model,
-        )
+    # the Pallas QP kernel only compiles for TPU; the CPU (test) path uses
+    # the vmapped XLA solver
+    qp_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ratio = int(round(cparams.loop_rate * pparams.dt))
 
     def shard_fn(carry, commands, scenario):
-        # vmap over the local shard of scenarios
-        carry, trace = jax.vmap(one)(carry, commands, scenario)
+        sim_model = jax.vmap(
+            lambda m, c: apply_payload(model, m, c)
+        )(scenario.payload_mass, scenario.payload_com)
+        carry, trace = batched_rollout(
+            model, cparams, qparams, sparams,
+            lambda s, c: gait.planner_step(pparams, s, c),
+            ratio, carry, commands, scenario, sim_model, qp_backend,
+        )
         metrics = sweep_metrics(trace)
         return carry, metrics
 

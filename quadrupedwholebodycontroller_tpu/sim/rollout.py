@@ -157,6 +157,114 @@ def rollout(
     return jax.lax.scan(step, carry, (ks, commands, pushes))
 
 
+def batched_rollout(
+    model: RobotModel,
+    cparams: ControllerParams,
+    qparams: QPSolverParams,
+    sparams: world.SimParams,
+    planner_fn: Callable,
+    planner_ratio: int,
+    carry: RolloutCarry,      # batched (leading axis B on every leaf)
+    commands,                 # (B, T, 3)
+    scenario=None,            # batched Scenario or None
+    sim_model: RobotModel | None = None,  # batched arrays or None
+    qp_backend: str = "pallas",
+):
+    """Batch-axis-inside rollout: one lax.scan over time, with the QP solved
+
+    batch-level each step (wbc_step_batched) so the Pallas kernel and the
+    carried factorization cache apply — the fast path for scenario sweeps.
+    Returns (carry, trace) with trace leaves shaped (B, T, ...)."""
+    from quadrupedwholebodycontroller_tpu.ops.qp import QPCache
+    from quadrupedwholebodycontroller_tpu.config import (
+        QP_NUM_CONSTRAINTS,
+        QP_NUM_VARS,
+    )
+
+    B, T = commands.shape[0], commands.shape[1]
+    dtype = commands.dtype
+    if sim_model is None:
+        sim_arrays = None
+    else:
+        sim_arrays = sim_model
+    friction = scenario.sim_friction if scenario is not None else None
+    pushes_tm = (
+        jnp.swapaxes(scenario.push_wrench, 0, 1)
+        if scenario is not None
+        else jnp.zeros((T, B, 6), dtype)
+    )
+    commands_tm = jnp.swapaxes(commands, 0, 1)
+    cache0 = QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+
+    def step(sc, xs):
+        carry, cache, cache_valid = sc
+        k, cmd, push = xs
+        tick = (k % planner_ratio) == 0
+
+        def do_tick(args):
+            pstate, ref = args
+            pstate, new_ref, published = jax.vmap(planner_fn)(pstate, cmd)
+            ref = jax.tree.map(
+                lambda n, o: jnp.where(
+                    published.reshape((-1,) + (1,) * (n.ndim - 1)), n, o
+                ),
+                new_ref, ref,
+            )
+            return pstate, ref, published
+
+        def no_tick(args):
+            pstate, ref = args
+            return pstate, ref, jnp.zeros((B,), bool)
+
+        pstate, ref, ref_is_new = jax.lax.cond(
+            tick, do_tick, no_tick, (carry.planner, carry.ref)
+        )
+
+        obs = jax.vmap(world.observe)(carry.sim)
+        out, wcarry, cache = wbc.wbc_step_batched(
+            model, cparams, qparams, obs, ref, carry.wbc, ref_is_new,
+            qp_backend, cache, cache_valid,
+        )
+        fric_arr = (
+            friction if friction is not None
+            else jnp.full((B,), sparams.friction, dtype)
+        )
+        if sim_arrays is None:
+            sim = jax.vmap(
+                lambda s, t, f, p: world.sim_control_period(
+                    model, s, t, sparams, f, p
+                )
+            )(carry.sim, out.tau, fric_arr, push)
+        else:
+            sim = jax.vmap(
+                lambda m, s, t, f, p: world.sim_control_period(
+                    m, s, t, sparams, f, p
+                )
+            )(sim_arrays, carry.sim, out.tau, fric_arr, push)
+
+        trace = RolloutTrace(
+            com_pos=out.com_pos,
+            com_pose=out.com_pose,
+            base_p=carry.sim.base_p,
+            q=carry.sim.q,
+            tau=out.tau,
+            grf=out.grf,
+            foot_pos=out.foot_pos,
+            ref_com_pose=ref.com_pose,
+            contacts=ref.contacts,
+            qp_kkt=out.qp_info.kkt_residual,
+        )
+        new_c = RolloutCarry(sim=sim, wbc=wcarry, planner=pstate, ref=ref)
+        return (new_c, cache, jnp.asarray(True)), trace
+
+    ks = jnp.arange(T, dtype=jnp.int32)
+    (carry, _, _), trace_tm = jax.lax.scan(
+        step, (carry, cache0, jnp.asarray(False)), (ks, commands_tm, pushes_tm)
+    )
+    trace = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), trace_tm)
+    return carry, trace
+
+
 def closed_loop_rollout(
     model: RobotModel,
     cparams: ControllerParams,

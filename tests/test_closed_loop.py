@@ -95,3 +95,32 @@ def test_batched_scenarios():
     _, tr_walk = fn(carry, cmd_walk)
     assert np.allclose(np.asarray(btr.com_pos[0]), np.asarray(tr_stand.com_pos), atol=1e-9)
     assert np.allclose(np.asarray(btr.com_pos[1]), np.asarray(tr_walk.com_pos), atol=1e-9)
+
+
+def test_batched_rollout_matches_vmapped():
+    """batched_rollout (xla QP backend) must reproduce vmap(closed_loop_rollout)."""
+    from quadrupedwholebodycontroller_tpu.planner import gait
+    from quadrupedwholebodycontroller_tpu.sim.rollout import batched_rollout
+
+    dtype = jnp.float64
+    model = anymal_d_model(dtype=dtype)
+    cp, pp, sp = ControllerParams(), PlannerParams(), SimParams()
+    qp = QPSolverParams()
+    B, T = 2, 60
+    carry = init_rollout_carry(model, cp, pp, dtype=dtype)
+    bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry)
+    cmds = jnp.zeros((B, T, 3), dtype).at[1, 20:, 0].set(0.5)
+    ratio = int(round(cp.loop_rate * pp.dt))
+
+    _, tr_b = jax.jit(
+        lambda c, x: batched_rollout(
+            model, cp, qp, sp,
+            lambda s, cc: gait.planner_step(pp, s, cc),
+            ratio, c, x, qp_backend="xla",
+        )
+    )(bcarry, cmds)
+    _, tr_v = jax.jit(
+        jax.vmap(lambda c, x: closed_loop_rollout(model, cp, pp, qp, sp, c, x))
+    )(bcarry, cmds)
+    assert np.allclose(np.asarray(tr_b.com_pos), np.asarray(tr_v.com_pos), atol=1e-9)
+    assert np.allclose(np.asarray(tr_b.tau), np.asarray(tr_v.tau), atol=1e-7)
