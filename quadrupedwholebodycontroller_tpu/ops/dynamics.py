@@ -97,17 +97,28 @@ def potential_energy(model: RobotModel, kin: K.KinState, g: float = 9.81) -> jax
     return g * jnp.einsum("b,b->", model.mass, kin.body_com_w[:, 2])
 
 
-def forward_dynamics(model: RobotModel, base_R, base_p, q, u, tau_gen) -> jax.Array:
+def forward_dynamics(model: RobotModel, base_R, base_p, q, u, tau_gen,
+                     minv=None) -> jax.Array:
     """(nv,) u_dot = M^{-1} (tau_gen - h_C - g_gen) with gravity pulling -z.
 
     tau_gen is the full generalized applied force (e.g. S^T tau + J_c^T f).
-    Used by the on-device simulator (the Gazebo/C5 replacement)."""
+    Used by the on-device simulator (the Gazebo/C5 replacement).
+
+    minv: optional slightly-stale M^{-1} (e.g. computed once per control
+    period) — applied with iterative refinement against the CURRENT M, so
+    the solve stays accurate while the expensive inverse is amortized over
+    the physics substeps."""
     kin = K.forward_kinematics(model, base_R, base_p, q)
     M = mass_matrix(model, kin)
     h = coriolis_bias(model, base_R, base_p, q, u)
     # applied gravity generalized force (field acceleration -9.81 z)
     grav = gravity_force(model, kin, jnp.array([0.0, 0.0, -9.81], dtype=u.dtype))
     rhs = tau_gen - h + grav
+    if minv is not None:
+        x = minv @ rhs
+        for _ in range(2):
+            x = x + minv @ (rhs - M @ x)
+        return x
     # M is SPD: matmul-only solve (factorization custom calls are the
     # dominant cost on the target TPU stack — see ops/linalg.py)
     from quadrupedwholebodycontroller_tpu.ops.linalg import spd_solve

@@ -109,7 +109,7 @@ def _contact_forces(model, kin, u, anchor, params: SimParams, friction=None):
 
 
 def _substep(model, state: SimState, tau, params: SimParams, friction=None,
-             push_wrench=None):
+             push_wrench=None, minv=None):
     kin = K.forward_kinematics(model, state.base_R, state.base_p, state.q)
     J_feet = K.frame_jacobians(model, kin)[:, :3, :]   # (4, 3, 18)
     f, anchor = _contact_forces(model, kin, state.u, state.anchor, params, friction)
@@ -122,7 +122,8 @@ def _substep(model, state: SimState, tau, params: SimParams, friction=None,
         # its generalized force is just the first six entries)
         tau_gen = tau_gen.at[:6].add(push_wrench)
     udot = D.forward_dynamics(
-        model, state.base_R, state.base_p, state.q, state.u, tau_gen + tau_contact
+        model, state.base_R, state.base_p, state.q, state.u,
+        tau_gen + tau_contact, minv=minv,
     )
     # semi-implicit Euler: update velocity first, integrate pose with new u
     u_new = state.u + params.dt * udot
@@ -143,10 +144,23 @@ def sim_control_period(model: RobotModel, state: SimState, tau, params: SimParam
     """Advance one control period (ZOH torque) with `substeps` physics steps.
 
     friction / push_wrench are optional traced per-scenario perturbations
-    (sim/scenario.py)."""
+    (sim/scenario.py).
+
+    On accelerators the mass-matrix inverse is computed once per control
+    period (2.5 ms — M barely moves) and applied with per-substep iterative
+    refinement against the current M, amortizing the matmul-only inverse
+    over the substeps; on CPU the exact LAPACK solve is cheap per substep."""
+    if jax.default_backend() == "cpu":
+        minv = None
+    else:
+        from quadrupedwholebodycontroller_tpu.ops import dynamics as _D
+        from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+
+        kin0 = K.forward_kinematics(model, state.base_R, state.base_p, state.q)
+        minv = ns_inverse(_D.mass_matrix(model, kin0), iters=30)
 
     def body(st, _):
-        return _substep(model, st, tau, params, friction, push_wrench), None
+        return _substep(model, st, tau, params, friction, push_wrench, minv), None
 
     state, _ = jax.lax.scan(body, state, None, length=params.substeps)
     return state
