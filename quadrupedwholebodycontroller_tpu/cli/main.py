@@ -26,11 +26,19 @@ def _common(ap):
     ap.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     ap.add_argument("--qp-iters", type=int, default=100)
     ap.add_argument("--save", type=str, default=None, help="save trace .npz")
+    ap.add_argument("--record", type=str, default=None,
+                    help="save binary trajectory log (native TrajLog .qlog)")
     ap.add_argument("--plot", type=str, default=None, help="save plot .png")
+    ap.add_argument("--footprints", type=str, default=None,
+                    help="save top-down footprint plot .png")
     ap.add_argument("--params", type=str, default=None, help="reference-format yaml")
 
 
 def _setup(args):
+    if args.dtype == "float64":
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from quadrupedwholebodycontroller_tpu.config import (
@@ -72,9 +80,25 @@ def _finish(args, trace, cp):
     if args.save:
         plots.save_trace(args.save, trace, cp.loop_rate)
         print("trace ->", args.save)
+    if getattr(args, "record", None):
+        from quadrupedwholebodycontroller_tpu.runtime.native import TrajLog
+
+        # frame: [q(12), com_pose(6), tau(12), grf(12)] — the four recorded
+        # topics of the reference's rosbag (launch/whole_body_controller.launch:27-35)
+        frames = np.concatenate(
+            [arrs["q"], arrs["com_pose"], arrs["tau"], arrs["grf"]], axis=1
+        )
+        log = TrajLog(frame_doubles=frames.shape[1])
+        log.append(frames)
+        log.flush(args.record)
+        log.close()
+        print("binary log ->", args.record)
     if args.plot:
         plots.plot_run(arrs, skip_seconds=0.5, control_rate=cp.loop_rate, out_path=args.plot)
         print("plot ->", args.plot)
+    if getattr(args, "footprints", None):
+        plots.plot_footprints(arrs, out_path=args.footprints)
+        print("footprints ->", args.footprints)
 
 
 def cmd_standing(args):
