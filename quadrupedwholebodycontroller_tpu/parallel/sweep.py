@@ -44,10 +44,15 @@ class SweepMetrics(NamedTuple):
 def sweep_metrics(trace, axis_names=BATCH_AXES) -> SweepMetrics:
     """Per-shard trace -> globally psum-reduced metrics.  Call inside
 
-    shard_map."""
-    kkt = trace.qp_kkt
+    shard_map.  Non-finite values (frozen/fallen scenarios) are zeroed so a
+    single diverged scenario cannot poison the reductions."""
+    kkt = jnp.where(jnp.isfinite(trace.qp_kkt), trace.qp_kkt, 0.0)
     err = jnp.abs(trace.com_pose[..., :3] - trace.ref_com_pose[..., :3])
-    fallen = jnp.any(trace.com_pos[..., 2] < 0.2, axis=-1)
+    err = jnp.where(jnp.isfinite(err), err, 0.0)
+    fallen = jnp.any(
+        (trace.com_pos[..., 2] < 0.2) | ~jnp.isfinite(trace.com_pos[..., 2]),
+        axis=-1,
+    )
     n_local = jnp.asarray(kkt.shape[0], kkt.dtype)
 
     n = jax.lax.psum(n_local, axis_names)

@@ -197,7 +197,7 @@ def batched_rollout(
     cache0 = QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
 
     def step(sc, xs):
-        carry, cache, cache_valid = sc
+        carry, cache, cache_valid, alive = sc
         k, cmd, push = xs
         tick = (k % planner_ratio) == 0
 
@@ -242,24 +242,43 @@ def batched_rollout(
                 )
             )(sim_arrays, carry.sim, out.tau, fric_arr, push)
 
+        # scenario termination: once a robot has fallen (or its state went
+        # non-finite — there is no body-ground collision model) freeze it so
+        # it cannot NaN-poison the batch (the per-scenario analogue of the
+        # reference's QP-failure abort, but without killing the batch)
+        finite = jnp.all(jnp.isfinite(sim.u), axis=-1) & jnp.all(
+            jnp.isfinite(sim.base_p), axis=-1
+        )
+        alive_new = alive & (out.com_pos[:, 2] > 0.2) & finite
+
+        def freeze(new, old):
+            mask = alive_new.reshape((-1,) + (1,) * (new.ndim - 1))
+            return jnp.where(mask, new, old)
+
+        sim = jax.tree.map(freeze, sim, carry.sim)
+        wcarry = jax.tree.map(freeze, wcarry, carry.wbc)
+
         trace = RolloutTrace(
             com_pos=out.com_pos,
             com_pose=out.com_pose,
             base_p=carry.sim.base_p,
             q=carry.sim.q,
-            tau=out.tau,
+            tau=jnp.where(alive_new[:, None], out.tau, 0.0),
             grf=out.grf,
             foot_pos=out.foot_pos,
             ref_com_pose=ref.com_pose,
             contacts=ref.contacts,
-            qp_kkt=out.qp_info.kkt_residual,
+            qp_kkt=jnp.where(alive_new, out.qp_info.kkt_residual, 0.0),
         )
         new_c = RolloutCarry(sim=sim, wbc=wcarry, planner=pstate, ref=ref)
-        return (new_c, cache, jnp.asarray(True)), trace
+        return (new_c, cache, jnp.asarray(True), alive_new), trace
 
     ks = jnp.arange(T, dtype=jnp.int32)
-    (carry, _, _), trace_tm = jax.lax.scan(
-        step, (carry, cache0, jnp.asarray(False)), (ks, commands_tm, pushes_tm)
+    alive0 = jnp.ones((B,), bool)
+    (carry, _, _, alive), trace_tm = jax.lax.scan(
+        step,
+        (carry, cache0, jnp.asarray(False), alive0),
+        (ks, commands_tm, pushes_tm),
     )
     trace = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), trace_tm)
     return carry, trace
