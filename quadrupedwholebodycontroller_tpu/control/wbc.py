@@ -178,12 +178,17 @@ def wbc_setup(
     contacts = jnp.where(ref_is_new, ref.contacts, carry.prev_contacts)
 
     # ---- updateState (cpp:256-294) ----
-    kin = K.forward_kinematics(model, obs.base_R, obs.base_p, obs.q)
+    # one pass computes the Coriolis bias AND the primal kinematics
+    # (FK + body-CoM Jacobians) it needs anyway — everything else reuses them
+    h_cor, kin, J_body = D.coriolis_bias_full(model, obs.base_R, obs.base_p, obs.q, u)
     com = K.robot_com(model, kin)
-    com_vel6 = jnp.concatenate([K.com_velocity(model, kin, u), obs.base_vel[3:6]])
+    com_lin_vel = jnp.einsum(
+        "b,bij,j->i", model.mass, J_body[:, :3, :], u
+    ) / model.total_mass
+    com_vel6 = jnp.concatenate([com_lin_vel, obs.base_vel[3:6]])
     current_pose = jnp.concatenate([com, spatial.matrix_to_rpy(obs.base_R)])
 
-    M = D.mass_matrix(model, kin)
+    M = D.mass_matrix(model, kin, J_body)
     tf = C.centroidal_transform(M, com, obs.base_p)
     Mc = C.centroidal_mass_matrix(M, tf)
     Mc_base = Mc[:6, :6]
@@ -199,7 +204,6 @@ def wbc_setup(
 
     # centroidal bias uses the STALE Tdot_inv (cpp:289 reads the member
     # written at cpp:293 of the previous cycle)
-    h_cor = D.coriolis_bias(model, obs.base_R, obs.base_p, obs.q, u)
     h_c = C.centroidal_bias(h_cor, M, carry.tdot_inv, u, tf)
 
     # finite-difference derivatives (computeDerivatives, cpp:384-402);

@@ -33,11 +33,13 @@ def world_inertias(model: RobotModel, kin: K.KinState) -> jax.Array:
     return jnp.einsum("bij,bjk,blk->bil", kin.body_R, model.inertia, kin.body_R)
 
 
-def mass_matrix(model: RobotModel, kin: K.KinState) -> jax.Array:
+def mass_matrix(model: RobotModel, kin: K.KinState, J=None) -> jax.Array:
     """(nv, nv) free-floating mass matrix, mixed representation.
 
-    Matches iDynTree getFreeFloatingMassMatrix (u = [v_base; omega; qdot])."""
-    J = K.body_com_jacobians(model, kin)          # (nb, 6, nv)
+    Matches iDynTree getFreeFloatingMassMatrix (u = [v_base; omega; qdot]).
+    Pass J (body CoM Jacobians) to reuse an already-computed stack."""
+    if J is None:
+        J = K.body_com_jacobians(model, kin)      # (nb, 6, nv)
     Jv, Jw = J[:, :3, :], J[:, 3:, :]
     Iw = world_inertias(model, kin)
     M = jnp.einsum("b,bik,bil->kl", model.mass, Jv, Jv)
@@ -45,25 +47,36 @@ def mass_matrix(model: RobotModel, kin: K.KinState) -> jax.Array:
     return M
 
 
+def coriolis_bias_full(model: RobotModel, base_R, base_p, q, u):
+    """Coriolis bias plus the primal kinematics it computes along the way.
+
+    Returns (h_C (nv,), kin, J (nb,6,nv)) — callers (the WBC setup) reuse
+    kin/J instead of recomputing FK, halving the kinematics op count."""
+    flow = K.state_flow(base_R, base_p, q, u)
+
+    def f(R, p, qq):
+        kin = K.forward_kinematics(model, R, p, qq)
+        J = K.body_com_jacobians(model, kin)
+        vel6 = jnp.einsum("bij,j->bi", J, u)
+        return vel6[:, :3], vel6[:, 3:], kin, J
+
+    (v_c, w, kin, J), (a_c, alpha, _, _) = jax.jvp(f, (base_R, base_p, q), flow)
+
+    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    Iw = world_inertias(model, kin)
+    F = model.mass[:, None] * a_c                              # (nb, 3)
+    N = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(w, jnp.einsum("bij,bj->bi", Iw, w))
+    h = jnp.einsum("bik,bi->k", Jv, F) + jnp.einsum("bik,bi->k", Jw, N)
+    return h, kin, J
+
+
 def coriolis_bias(model: RobotModel, base_R, base_p, q, u) -> jax.Array:
     """(nv,) Coriolis/centrifugal generalized force C(q,u)u (gravity-free).
 
     Matches the reference's computeCoriolisBias (generalizedBiasForces minus
     generalizedGravityForces, src/whole_body_controller.cpp:544-551)."""
-    flow = K.state_flow(base_R, base_p, q, u)
-
-    def vel_fn(R, p, qq):
-        return K.body_velocities(model, R, p, qq, u)
-
-    (v_c, w), (a_c, alpha) = jax.jvp(vel_fn, (base_R, base_p, q), flow)
-
-    kin = K.forward_kinematics(model, base_R, base_p, q)
-    J = K.body_com_jacobians(model, kin)
-    Jv, Jw = J[:, :3, :], J[:, 3:, :]
-    Iw = world_inertias(model, kin)
-    F = model.mass[:, None] * a_c                              # (nb, 3)
-    N = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(w, jnp.einsum("bij,bj->bi", Iw, w))
-    return jnp.einsum("bik,bi->k", Jv, F) + jnp.einsum("bik,bi->k", Jw, N)
+    h, _, _ = coriolis_bias_full(model, base_R, base_p, q, u)
+    return h
 
 
 def gravity_force(model: RobotModel, kin: K.KinState, g_vec) -> jax.Array:
