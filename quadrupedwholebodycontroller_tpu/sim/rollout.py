@@ -249,7 +249,12 @@ def batched_rollout(
         finite = jnp.all(jnp.isfinite(sim.u), axis=-1) & jnp.all(
             jnp.isfinite(sim.base_p), axis=-1
         )
-        alive_new = alive & (out.com_pos[:, 2] > 0.2) & finite
+        sane = (
+            (out.com_pos[:, 2] > 0.2)
+            & (out.com_pos[:, 2] < 2.0)          # launched airborne = diverged
+            & (jnp.max(jnp.abs(sim.u), axis=-1) < 50.0)
+        )
+        alive_new = alive & sane & finite
 
         def freeze(new, old):
             mask = alive_new.reshape((-1,) + (1,) * (new.ndim - 1))

@@ -114,6 +114,9 @@ def _substep(model, state: SimState, tau, params: SimParams, friction=None,
     J_feet = K.frame_jacobians(model, kin)[:, :3, :]   # (4, 3, 18)
     f, anchor = _contact_forces(model, kin, state.u, state.anchor, params, friction)
     tau_contact = jnp.einsum("fij,fi->j", J_feet, f)
+    # actuator saturation at the URDF effort limits — the Gazebo effort
+    # interface clamps commands the same way (urdf/anymal.urdf +-80 N m)
+    tau = jnp.clip(tau, -model.joint_effort, model.joint_effort)
     tau_gen = jnp.concatenate(
         [jnp.zeros(6, tau.dtype), tau - params.joint_damping * state.u[6:]]
     )
