@@ -13,6 +13,9 @@ import dataclasses
 from typing import Sequence
 
 GRAVITY = 9.81  # reference: gravityAcceleration, whole_body_controller.hpp:30
+# "infinity" for one-sided QP bounds — finite, the qpOASES INFTY convention
+# (reference cpp:508-514); keeps every gradient path NaN-free under jit
+QP_INF = 1.0e20
 
 NUM_JOINTS = 12
 NUM_LEGS = 4

@@ -31,6 +31,7 @@ from quadrupedwholebodycontroller_tpu.config import (
     NUM_JOINTS,
     NUM_LEGS,
     NV,
+    QP_INF,
     QP_NUM_CONSTRAINTS,
     QP_NUM_VARS,
     ControllerParams,
@@ -272,7 +273,7 @@ def wbc_setup(
     stance_rhs = -(Jd_st @ vel_c)
     swing_rhs = a_cmd - Jd_sw @ vel_c
     tau_max = jnp.full((nj,), params.max_torque, dtype)
-    inf = jnp.asarray(jnp.inf, dtype)
+    inf = jnp.asarray(QP_INF, dtype)
     ub = jnp.concatenate(
         [
             -gravity_wrench,

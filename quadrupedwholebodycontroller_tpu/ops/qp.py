@@ -80,24 +80,44 @@ class QPCache(NamedTuple):
         )
 
 
+def _bound_finite(x):
+    """A bound is "real" when |x| < 1e19 — handles both jnp.inf and the
+    finite qpOASES-style INFTY = 1e20 (config.QP_INF) conventions."""
+    return jnp.abs(x) < 1e19
+
+
 def _rho_vec(data: QPData, params: QPSolverParams):
     eq = (data.u - data.l) <= 1e-9
     return jnp.where(eq, params.rho * params.rho_eq_scale, params.rho)
 
 
 def kkt_residual(data: QPData, x, y):
-    """KKT primal/dual residuals of a primal/dual pair (solver-independent
+    """Relative KKT primal/dual residuals of a primal/dual pair
 
-    optimality certificate — the test oracle replacing an external QP
-    library).  Complementary slackness is not scored: ADMM satisfies it
-    exactly through the z-projection (y is the dual of z, and (z, y) are
-    complementary by construction), and the polish solve satisfies it
-    exactly by active-set structure; scoring y*(distance of Ax to bound)
-    against it only re-measures the primal residual scaled by |y|
-    (OSQP's termination criterion makes the same choice)."""
+    (solver-independent optimality certificate — the test oracle replacing
+    an external QP library).  OSQP-style normalization: the WBC problem's
+    data spans ~1 (acceleration rows) to ~1e4+ (stiff-gain wrench terms in
+    extreme scenarios), so absolute residuals are not comparable across a
+    scenario batch.  Complementary slackness is not scored: ADMM satisfies
+    it exactly through the z-projection and the polish by active-set
+    structure (OSQP's termination criterion makes the same choice)."""
     ax = data.A @ x
-    primal = jnp.max(jnp.abs(ax - jnp.clip(ax, data.l, data.u)))
-    dual = jnp.max(jnp.abs(data.H @ x + data.g + data.A.T @ y))
+    hx = data.H @ x
+    aty = data.A.T @ y
+    finite_b = jnp.maximum(
+        jnp.max(jnp.where(_bound_finite(data.l), jnp.abs(data.l), 0.0)),
+        jnp.max(jnp.where(_bound_finite(data.u), jnp.abs(data.u), 0.0)),
+    )
+    primal_scale = jnp.maximum(1.0, jnp.maximum(jnp.max(jnp.abs(ax)), finite_b))
+    dual_scale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.max(jnp.abs(hx)),
+            jnp.maximum(jnp.max(jnp.abs(aty)), jnp.max(jnp.abs(data.g))),
+        ),
+    )
+    primal = jnp.max(jnp.abs(ax - jnp.clip(ax, data.l, data.u))) / primal_scale
+    dual = jnp.max(jnp.abs(hx + data.g + aty)) / dual_scale
     return primal, dual
 
 
@@ -119,8 +139,8 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
     eq = (data.u - data.l) <= 1e-9
     tol = 1e-6
     # a bound can only be active if it is finite (avoid 0*inf = NaN below)
-    low_active = jnp.isfinite(data.l) & ((ax - data.l <= tol) | (state.y < -tol))
-    upp_active = jnp.isfinite(data.u) & ((data.u - ax <= tol) | (state.y > tol))
+    low_active = _bound_finite(data.l) & ((ax - data.l <= tol) | (state.y < -tol))
+    upp_active = _bound_finite(data.u) & ((data.u - ax <= tol) | (state.y > tol))
     # all-zero rows (contact-masked constraints) must be treated as inactive,
     # otherwise they contribute a zero row to the KKT system (singular)
     nonzero_row = jnp.sum(jnp.abs(data.A), axis=1) > 1e-12
@@ -421,8 +441,8 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
         ax = d.A @ s.x
         eq = (d.u - d.l) <= 1e-9
         tol = 1e-6
-        low = jnp.isfinite(d.l) & ((ax - d.l <= tol) | (s.y < -tol))
-        upp = jnp.isfinite(d.u) & ((d.u - ax <= tol) | (s.y > tol))
+        low = _bound_finite(d.l) & ((ax - d.l <= tol) | (s.y < -tol))
+        upp = _bound_finite(d.u) & ((d.u - ax <= tol) | (s.y > tol))
         nz = jnp.sum(jnp.abs(d.A), axis=1) > 1e-12
         active = (eq | low | upp) & nz
         b = jnp.where(upp & ~low, d.u, d.l)
