@@ -233,7 +233,7 @@ def wbc_setup(
 
     # ---- swing commanded accelerations (cpp:447-464) ----
     foot_pos = kin.frame_p.reshape(3 * nl)
-    foot_vel = K.frame_velocities(model, kin, u)[:, :3].reshape(3 * nl)
+    foot_vel = jnp.einsum("fij,j->fi", J_feet, u).reshape(3 * nl)  # reuse J_feet
     a_cmd = (
         ref.swing_acc
         + params.kd_swing * (ref.swing_vel - foot_vel)

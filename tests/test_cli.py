@@ -1,0 +1,32 @@
+"""CLI entry points (the roslaunch/teleop replacement) — fast smoke runs."""
+import os
+import sys
+
+import numpy as np
+
+from quadrupedwholebodycontroller_tpu.cli import main as cli
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def test_standing_cli(tmp_path):
+    trace = str(tmp_path / "t.npz")
+    cli.main([
+        "standing", "--seconds", "0.2", "--dtype", "float64",
+        "--save", trace,
+    ])
+    assert os.path.exists(trace)
+
+
+def test_teleop_replay_cli(tmp_path):
+    stream = str(tmp_path / "cmd.csv")
+    with open(stream, "w") as f:
+        f.write("0.0, 0.0, 0.0, 0.0\n0.1, 0.4, 0.0, 0.0\n0.3, 0.0, 0.0, 0.0\n")
+    cli.main(["teleop-replay", stream, "--dtype", "float64"])
+
+
+def test_params_yaml_cli():
+    cli.main([
+        "standing", "--seconds", "0.1", "--dtype", "float64",
+        "--params", os.path.join(CONFIGS, "params_controller.yaml"),
+    ])
