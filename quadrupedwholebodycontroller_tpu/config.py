@@ -47,6 +47,10 @@ class ControllerParams:
     kd_swing: float = 20.0      # reference: kdSwingValue
     slack_weight: float = 1000.0
     initial_reference_pose: Sequence[float] = (0.0, 0.0, 0.50, 0.0, 0.0, 0.0)
+    # beyond-reference option: analytic Tdot/Jdot via jvp instead of the
+    # reference's finite differences (cpp:384-402) — no one-cycle lag, no
+    # contact-switch transients
+    exact_derivatives: bool = False
 
     @property
     def dt(self) -> float:

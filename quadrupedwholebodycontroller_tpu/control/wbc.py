@@ -203,19 +203,42 @@ def wbc_setup(
     Jc_st_com, Jc_st_j = Jc_st[:, :6], Jc_st[:, 6:]
     Jc_sw_com, Jc_sw_j = Jc_sw[:, :6], Jc_sw[:, 6:]
 
-    # centroidal bias uses the STALE Tdot_inv (cpp:289 reads the member
-    # written at cpp:293 of the previous cycle)
-    h_c = C.centroidal_bias(h_cor, M, carry.tdot_inv, u, tf)
+    if params.exact_derivatives:
+        # ---- beyond-reference option: analytic Tdot / Jdot via jvp along
+        # the state flow (no finite-difference lag, no contact-switch
+        # zeroing needed — contacts are constant within the linearization),
+        # and the centroidal bias uses the FRESH Tdot^-1
+        def mats(R, p, qq):
+            kin_ = K.forward_kinematics(model, R, p, qq)
+            J_ = K.body_com_jacobians(model, kin_)
+            M_ = D.mass_matrix(model, kin_, J_)
+            com_ = K.robot_com(model, kin_)
+            tf_ = C.centroidal_transform(M_, com_, p)
+            Jf_ = K.frame_jacobians(model, kin_)[:, :3, :]
+            Jst_ = (Jf_ * contacts[:, None, None]).reshape(3 * nl, NV) @ tf_.T_inv
+            Jsw_ = (Jf_ * (1.0 - contacts)[:, None, None]).reshape(3 * nl, NV) @ tf_.T_inv
+            return tf_.T, Jst_, Jsw_
 
-    # finite-difference derivatives (computeDerivatives, cpp:384-402);
-    # zeroed on contact switch AND on the first cycle (the reference's first
-    # cycle differences against an identity placeholder — we use zero, a
-    # documented one-step deviation)
-    gate = jnp.where(switch | ~carry.deriv_valid, 0.0, 1.0).astype(dtype)
-    T_dot = gate * (tf.T - carry.old_T) / dt
-    Jd_st = gate * (Jc_st - carry.old_J_st) / dt
-    Jd_sw = gate * (Jc_sw - carry.old_J_sw) / dt
-    new_tdot_inv = C.tdot_inverse(tf, T_dot)
+        flow = K.state_flow(obs.base_R, obs.base_p, obs.q, u)
+        _, (T_dot, Jd_st, Jd_sw) = jax.jvp(
+            mats, (obs.base_R, obs.base_p, obs.q), flow
+        )
+        new_tdot_inv = C.tdot_inverse(tf, T_dot)
+        h_c = C.centroidal_bias(h_cor, M, new_tdot_inv, u, tf)
+    else:
+        # centroidal bias uses the STALE Tdot_inv (cpp:289 reads the member
+        # written at cpp:293 of the previous cycle)
+        h_c = C.centroidal_bias(h_cor, M, carry.tdot_inv, u, tf)
+
+        # finite-difference derivatives (computeDerivatives, cpp:384-402);
+        # zeroed on contact switch AND on the first cycle (the reference's
+        # first cycle differences against an identity placeholder — we use
+        # zero, a documented one-step deviation)
+        gate = jnp.where(switch | ~carry.deriv_valid, 0.0, 1.0).astype(dtype)
+        T_dot = gate * (tf.T - carry.old_T) / dt
+        Jd_st = gate * (Jc_st - carry.old_J_st) / dt
+        Jd_sw = gate * (Jc_sw - carry.old_J_sw) / dt
+        new_tdot_inv = C.tdot_inverse(tf, T_dot)
 
     # ---- desired wrench (computeDesiredWrench, cpp:426-445) ----
     kp_diag = jnp.full((6,), params.kp, dtype).at[2].set(params.kp_z)
