@@ -13,8 +13,6 @@ granularity and are batched, not sharded, within a chip.
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -10,7 +10,6 @@ topic bus collapsed to one ICI collective).
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -25,10 +24,6 @@ from quadrupedwholebodycontroller_tpu.config import (
 from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
 from quadrupedwholebodycontroller_tpu.parallel.mesh import BATCH_AXES
 from quadrupedwholebodycontroller_tpu.sim import world
-from quadrupedwholebodycontroller_tpu.sim.rollout import (
-    RolloutCarry,
-    closed_loop_rollout,
-)
 
 
 class SweepMetrics(NamedTuple):

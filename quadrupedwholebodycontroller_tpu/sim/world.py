@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from quadrupedwholebodycontroller_tpu.config import NUM_JOINTS, NUM_LEGS
+from quadrupedwholebodycontroller_tpu.config import NUM_JOINTS
 from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
 from quadrupedwholebodycontroller_tpu.ops import dynamics as D
 from quadrupedwholebodycontroller_tpu.ops import kinematics as K
