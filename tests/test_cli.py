@@ -30,3 +30,11 @@ def test_params_yaml_cli():
         "standing", "--seconds", "0.1", "--dtype", "float64",
         "--params", os.path.join(CONFIGS, "params_controller.yaml"),
     ])
+
+
+def test_sweep_cli(capsys):
+    cli.main([
+        "sweep", "--batch", "8", "--seconds", "0.06", "--dtype", "float64",
+    ])
+    out = capsys.readouterr().out
+    assert "sweep B=8" in out and "fallen=" in out

