@@ -230,7 +230,18 @@ def cmd_sweep(args):
     vx = jax.random.uniform(kv, (B,), s["dtype"], 0.0, 0.8)
     cmds = jnp.zeros((B, T, 3), s["dtype"]).at[:, 40:, 0].set(vx[:, None])
     scen = Scenario.random_batch(ks, B, T, s["dtype"])
-    step = sharded_sweep_step(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], mesh)
+    from quadrupedwholebodycontroller_tpu.planner import trot as trot_mod
+    from quadrupedwholebodycontroller_tpu.sim.rollout import init_rollout_carry as _irc
+
+    if args.gait == "trot":
+        carry = _irc(
+            s["model"], s["cp"], dtype=s["dtype"],
+            planner_state=trot_mod.init_trot_state(trot_mod.TrotParams(), s["dtype"]),
+        )
+        bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry)
+    step = sharded_sweep_step(
+        s["model"], s["cp"], s["pp"], s["qp"], s["sp"], mesh, args.gait
+    )
     bcarry = shard_batch(bcarry, mesh)
     cmds = shard_batch(cmds, mesh)
     scen = shard_batch(scen, mesh)
@@ -270,6 +281,7 @@ def main(argv=None):
     p = sub.add_parser("sweep"); _common(p)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--gait", choices=["walk", "trot"], default="walk")
     p.set_defaults(fn=cmd_sweep)
     p = sub.add_parser("plot")
     p.add_argument("trace"); p.add_argument("--out", default="run.png")

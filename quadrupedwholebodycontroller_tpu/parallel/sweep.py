@@ -67,19 +67,29 @@ def sharded_sweep_step(
     qparams: QPSolverParams,
     sparams: world.SimParams,
     mesh: Mesh,
+    gait_name: str = "walk",
 ):
     """Build the jitted sharded sweep: (batched carry, batched commands) ->
 
-    (batched carry, SweepMetrics).  Batch axis must divide the mesh size."""
+    (batched carry, SweepMetrics).  Batch axis must divide the mesh size.
+    gait_name: "walk" (the reference's static walk) or "trot"."""
 
-    from quadrupedwholebodycontroller_tpu.planner import gait
+    from quadrupedwholebodycontroller_tpu.planner import gait, trot
     from quadrupedwholebodycontroller_tpu.sim.rollout import batched_rollout
     from quadrupedwholebodycontroller_tpu.sim.scenario import apply_payload
 
     # the Pallas QP kernel only compiles for TPU; the CPU (test) path uses
     # the vmapped XLA solver
     qp_backend = "pallas" if jax.default_backend() == "tpu" else "xla"
-    ratio = int(round(cparams.loop_rate * pparams.dt))
+    if gait_name == "walk":
+        planner_fn = lambda s, c: gait.planner_step(pparams, s, c)
+        ratio = int(round(cparams.loop_rate * pparams.dt))
+    elif gait_name == "trot":
+        tp = trot.TrotParams()
+        planner_fn = lambda s, c: trot.trot_step(tp, s, c)
+        ratio = max(1, int(round(cparams.loop_rate * tp.dt)))
+    else:
+        raise ValueError(gait_name)
 
     def shard_fn(carry, commands, scenario):
         sim_model = jax.vmap(
@@ -87,8 +97,7 @@ def sharded_sweep_step(
         )(scenario.payload_mass, scenario.payload_com)
         carry, trace = batched_rollout(
             model, cparams, qparams, sparams,
-            lambda s, c: gait.planner_step(pparams, s, c),
-            ratio, carry, commands, scenario, sim_model, qp_backend,
+            planner_fn, ratio, carry, commands, scenario, sim_model, qp_backend,
         )
         metrics = sweep_metrics(trace)
         return carry, metrics

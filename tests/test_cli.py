@@ -38,3 +38,12 @@ def test_sweep_cli(capsys):
     ])
     out = capsys.readouterr().out
     assert "sweep B=8" in out and "fallen=" in out
+
+
+def test_sweep_trot_cli(capsys):
+    cli.main([
+        "sweep", "--batch", "8", "--seconds", "0.06", "--dtype", "float64",
+        "--gait", "trot",
+    ])
+    out = capsys.readouterr().out
+    assert "sweep B=8" in out
