@@ -94,6 +94,10 @@ class QPSolverParams:
     polish: bool = True           # active-set KKT polish after ADMM
     polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9
+    polish_refine: int = 2        # coupled iterative-refinement passes per
+                                  # polish round (preconditioned Richardson on
+                                  # the KKT system — recovers the digits a
+                                  # short warm NS inverse leaves on the table)
 
 
 def load_yaml_params(path: str):

@@ -49,11 +49,20 @@ def centroidal_transform(M, com, base_p) -> CentroidalTransform:
 
     Mb = M[:6, :6]
     Mbj = M[:6, 6:]
-    # matmul-only SPD solve (batched LU custom calls are the hot-path cost
-    # on the target TPU stack — see ops/linalg.py)
-    from quadrupedwholebodycontroller_tpu.ops.linalg import spd_solve
+    if jax.default_backend() == "cpu":
+        # LAPACK is fast and exact on CPU (the f64 test/golden configuration)
+        from quadrupedwholebodycontroller_tpu.ops.linalg import spd_solve
 
-    X = spd_solve(Mb, Mbj, iters=25, refine=2)  # Mb^{-1} Mbj  (6, nj)
+        X = spd_solve(Mb, Mbj, iters=25, refine=2)  # Mb^{-1} Mbj  (6, nj)
+    else:
+        # closed-form 3x3-block Schur inverse + one refinement pass: exact
+        # to f32 rounding and ~15 fused ops, vs ~50 launch-latency-bound
+        # tiny kernels for an iterative inverse (ops/linalg.py)
+        from quadrupedwholebodycontroller_tpu.ops.linalg import spd_inv6
+
+        Mb_inv = spd_inv6(Mb)
+        X = Mb_inv @ Mbj
+        X = X + Mb_inv @ (Mbj - Mb @ X)
     B = adj_inv @ X                          # top-right block of T
 
     eye_j = jnp.eye(nj, dtype=dtype)

@@ -108,6 +108,61 @@ def spd_solve(A, b, iters: int = 30, refine: int = 2):
     return x[..., 0] if vec else x
 
 
+def inv3(A):
+    """Closed-form inverse of batched (..., 3, 3) matrices (adjugate / det).
+
+    Exact up to rounding — no iteration, ~10 fused elementwise ops; used for
+    the tiny blocks where even a short Newton-Schulz loop is pure launch
+    latency on the accelerator."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+@full_precision
+def spd_inv6(M):
+    """Closed-form inverse of batched SPD (..., 6, 6) via 3x3 block Schur.
+
+        M = [[A, B], [B^T, C]],  S = C - B^T A^{-1} B
+        M^{-1} = [[A^{-1} + W S^{-1} W^T, -W S^{-1}],
+                  [-S^{-1} W^T,            S^{-1}]],   W = A^{-1} B
+
+    Replaces a ~25-iteration Newton-Schulz on the centroidal base block
+    (whose 50+ tiny sequential kernels are launch-latency-bound at any
+    batch size) with ~15 fused ops."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    C = M[..., 3:, 3:]
+    Ainv = inv3(A)
+    W = Ainv @ B
+    S = C - jnp.swapaxes(B, -1, -2) @ W
+    Sinv = inv3(S)
+    WS = W @ Sinv
+    top_left = Ainv + WS @ jnp.swapaxes(W, -1, -2)
+    top = jnp.concatenate([top_left, -WS], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WS, -1, -2), Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
 @full_precision
 def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
                     iters: int = 30, refine: int = 2, Hinv=None,

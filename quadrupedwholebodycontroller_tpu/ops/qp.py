@@ -162,7 +162,7 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
         jnp.where(active, b, 0.0),
         reg=params.polish_reg,
         iters=params.ns_iters,
-        refine=2,
+        refine=params.polish_refine,
         Hinv=Hinv,
         sinv_fn=sinv_fn,
         return_sinv=return_sinv,
@@ -398,8 +398,21 @@ def solve_batched(
     pr_b, du_b, res_b = jax.vmap(residuals)(data, admm)
     polished = jnp.zeros_like(res_b, dtype=bool)
     sinv_last = cache.sinv if cache is not None else None
-    for _ in range(params.polish_rounds if params.polish else 0):
+    for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
+            if round_i > 0:
+                # chain: round k warms from round k-1's inverse of THIS
+                # step's Schur matrix — a strictly fresher start than the
+                # cross-step cache, valid even on cold (use_warm=False)
+                # steps since it never crosses a contact switch
+                sinv_prev = sinv_last
+
+                def sinv_fn(M, w=sinv_prev):
+                    return ns_inverse(
+                        M, params.ns_iters, warm=w,
+                        warm_iters=params.ns_warm_iters,
+                    )
+
             pol, sinv_last = _polish_batched(
                 data, best, params, Hinv_polish, sinv_fn
             )
@@ -462,7 +475,7 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
         b,
         reg=params.polish_reg,
         iters=params.ns_iters,
-        refine=2,
+        refine=params.polish_refine,
         Hinv=Hinv,
         sinv_fn=sinv_fn,
         return_sinv=True,

@@ -61,3 +61,22 @@ def test_solve_kkt_schur_vs_dense(rng):
     assert np.allclose(np.asarray(y), sol[n:], atol=1e-8)
     # inactive duals are (essentially) zero
     assert np.allclose(np.asarray(y)[da == 0], 0.0, atol=1e-10)
+
+
+def test_inv3_closed_form(rng):
+    A = jnp.asarray(rng.normal(size=(7, 3, 3)) + 4 * np.eye(3))
+    Ainv = L.inv3(A)
+    assert np.allclose(np.asarray(A @ Ainv), np.eye(3)[None], atol=1e-12)
+
+
+def test_spd_inv6_closed_form(rng):
+    A = jnp.stack([jnp.asarray(spd(rng, 6, 1e3)) for _ in range(5)])
+    Ainv = L.spd_inv6(A)
+    assert np.allclose(np.asarray(A @ Ainv), np.eye(6)[None], atol=1e-10)
+
+
+def test_spd_inv6_f32_mass_matrix_like(rng):
+    # conditioning representative of the base mass-matrix block
+    A = jnp.asarray(spd(rng, 6, 1e2), jnp.float32)
+    Ainv = L.spd_inv6(A)
+    assert np.allclose(np.asarray(A @ Ainv), np.eye(6), atol=1e-4)

@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""QP solver parameter tuning on the live accelerator.
+
+For each candidate QPSolverParams config, measures
+  * speed: the bench.py standing scan (B=4096) in ms/step,
+  * quality: a walking closed-loop batched rollout (B=256, T=400) — KKT
+    residual stats, fallen count, torque/CoM agreement vs the default config.
+
+Honest scan-inside-jit timing only (CLAUDE.md).  Run:
+    python tools/tune_qp.py [config names...]
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from quadrupedwholebodycontroller_tpu.config import (
+    ControllerParams,
+    PlannerParams,
+    QPSolverParams,
+    QP_NUM_CONSTRAINTS,
+    QP_NUM_VARS,
+)
+from quadrupedwholebodycontroller_tpu.control import wbc
+from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+from quadrupedwholebodycontroller_tpu.ops import qp as qpm
+from quadrupedwholebodycontroller_tpu.sim import SimParams
+from quadrupedwholebodycontroller_tpu.sim.rollout import (
+    batched_rollout,
+    init_rollout_carry,
+)
+from quadrupedwholebodycontroller_tpu.planner import gait
+
+CONFIGS = {
+    "default": QPSolverParams(),
+    "warm3": QPSolverParams(ns_warm_iters=3),
+    "warm3_fast": QPSolverParams(
+        ns_warm_iters=3, scaling_iters=5, iterations=60, polish_refine=3
+    ),
+    "warm4_r1": QPSolverParams(ns_warm_iters=4, polish_rounds=1, polish_refine=3),
+    "warm2_fast": QPSolverParams(
+        ns_warm_iters=2, scaling_iters=4, iterations=50, polish_refine=3
+    ),
+}
+
+BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
+ROLL_B = int(os.environ.get("TUNE_ROLL_B", "256"))
+ROLL_T = int(os.environ.get("TUNE_ROLL_T", "400"))
+SCAN = 5
+REPS = 3
+
+
+def bench_speed(qp):
+    dtype = jnp.float32
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams()
+    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+    B = BENCH_B
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    obs = wbc.RobotObservation(
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
+        base_vel=0.02 * jax.random.normal(k2, (B, 6), dtype),
+        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1))
+        + 0.02 * jax.random.normal(k3, (B, 12), dtype),
+        qd=0.05 * jax.random.normal(k4, (B, 12), dtype),
+    )
+    ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(ControllerParams(), dtype))
+    carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    cache = qpm.QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+
+    @jax.jit
+    def multi(carry, cache, valid):
+        def body(cc, _):
+            c, ca = cc
+            out, c2, ca2 = wbc.wbc_step_batched(
+                model, cp, qp, obs, ref, c, True, backend, ca, valid
+            )
+            return (c2, ca2), (jnp.sum(out.tau), jnp.max(out.qp_info.kkt_residual),
+                               jnp.mean(out.qp_info.kkt_residual))
+        (c2, ca2), o = jax.lax.scan(body, (carry, cache), None, length=SCAN)
+        return c2, ca2, o
+
+    carry, cache, o = multi(carry, cache, False)
+    jax.block_until_ready(o)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        carry, cache, o = multi(carry, cache, True)
+        jax.block_until_ready(o)
+        times.append((time.perf_counter() - t0) / SCAN)
+    times.sort()
+    ms = times[len(times) // 2] * 1e3
+    return dict(
+        ms_per_step=round(ms, 2),
+        solves_per_s=round(BENCH_B / times[len(times) // 2], 1),
+        standing_max_kkt=float(jnp.max(o[1])),
+        standing_mean_kkt=float(jnp.mean(o[2])),
+    )
+
+
+def rollout_quality(qp):
+    dtype = jnp.float32
+    model = anymal_d_model(dtype=dtype)
+    cp, pp, sp = ControllerParams(), PlannerParams(), SimParams()
+    B, T = ROLL_B, ROLL_T
+    carry1 = init_rollout_carry(model, cp, pp, dtype=dtype)
+    bcarry = jax.tree.map(lambda x: jnp.stack([x] * B), carry1)
+    # slight de-phased initial perturbations so the batch isn't degenerate
+    key = jax.random.PRNGKey(7)
+    bcarry = bcarry._replace(
+        sim=bcarry.sim._replace(
+            q=bcarry.sim.q + 0.01 * jax.random.normal(key, (B, 12), dtype)
+        )
+    )
+    cmds = jnp.zeros((B, T, 3), dtype).at[:, 100:, 0].set(0.5)
+    ratio = int(round(cp.loop_rate * pp.dt))
+
+    run = jax.jit(
+        lambda c, x: batched_rollout(
+            model, cp, qp, sp,
+            lambda s, cc: gait.planner_step(pp, s, cc),
+            ratio, c, x,
+            qp_backend="pallas" if jax.default_backend() != "cpu" else "xla",
+        )
+    )
+    t0 = time.perf_counter()
+    fc, tr = run(bcarry, cmds)
+    jax.block_until_ready(tr.tau)
+    wall = time.perf_counter() - t0
+    kkt = np.asarray(tr.qp_kkt)
+    alive = kkt > 0  # frozen scenarios log 0
+    fallen = int(B - np.sum(np.all(np.isfinite(np.asarray(tr.com_pos)), axis=(1, 2))
+                            & (np.asarray(tr.com_pos)[:, -1, 2] > 0.2)))
+    return dict(
+        wall_s_first_call=round(wall, 1),
+        walk_mean_kkt=float(np.mean(kkt[alive])),
+        walk_p99_kkt=float(np.percentile(kkt[alive], 99)),
+        walk_max_kkt=float(np.max(kkt)),
+        fallen=fallen,
+        tau=np.asarray(tr.tau),
+        com=np.asarray(tr.com_pos),
+    )
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    base_tau = base_com = None
+    for name in names:
+        qp = CONFIGS[name]
+        speed = bench_speed(qp)
+        qual = rollout_quality(qp)
+        tau, com = qual.pop("tau"), qual.pop("com")
+        if base_tau is None:
+            base_tau, base_com = tau, com
+            cmp_ = {}
+        else:
+            # pre-chaos agreement: first 80 steps (0.2 s) before divergence
+            cmp_ = dict(
+                tau_maxdiff_80=float(np.max(np.abs(tau[:, :80] - base_tau[:, :80]))),
+                com_maxdiff_80=float(
+                    np.max(np.linalg.norm(com[:, :80] - base_com[:, :80], axis=-1))
+                ),
+                com_z_maxdiff_full=float(
+                    np.max(np.abs(com[:, :, 2] - base_com[:, :, 2]))
+                ),
+            )
+        print(json.dumps({"config": name, **speed, **qual, **cmp_}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
