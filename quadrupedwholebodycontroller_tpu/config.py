@@ -81,20 +81,32 @@ class QPSolverParams:
     """Batched OSQP-style ADMM solver settings (replaces qpOASES SQProblem
 
     hot-started active-set solves, reference whole_body_controller.cpp:517-533).
+
+    Defaults tuned on-chip (tools/tune_qp.py + tools/tune_sweep.py): vs the
+    conservative (100-iteration, 10-Ruiz, 8-warm-NS, 2-refine) setting they
+    are 1.6x faster AND ~700x better on walking-sweep mean relative KKT —
+    the third refinement pass does the accuracy work that longer NS loops
+    and more ADMM iterations were paying for.
     """
 
-    iterations: int = 100         # fixed iteration count (XLA-static)
+    iterations: int = 50          # ADMM iterations per hot-started solve
+    cold_iterations: int = 200    # ADMM iterations when the warm start is
+                                  # all-zero (the qpOASES init-vs-hotstart
+                                  # asymmetry: nWSR=100 on init, cheap after
+                                  # — reference cpp:523-533); a correct
+                                  # active-set estimate from scratch needs
+                                  # ~3x the hot-start iteration budget
     rho: float = 0.5              # base ADMM penalty (tuned on the WBC QP)
     rho_eq_scale: float = 1000.0  # penalty boost for equality rows
     sigma: float = 1e-6
     alpha: float = 1.6            # over-relaxation
-    scaling_iters: int = 10       # Ruiz equilibration sweeps (0 = off)
+    scaling_iters: int = 4        # Ruiz equilibration sweeps (0 = off)
     ns_iters: int = 30            # Newton-Schulz iterations for matmul-only inverses
-    ns_warm_iters: int = 8        # NS iterations when restarting from a carried cache
+    ns_warm_iters: int = 2        # NS iterations when restarting from a carried cache
     polish: bool = True           # active-set KKT polish after ADMM
     polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9
-    polish_refine: int = 2        # coupled iterative-refinement passes per
+    polish_refine: int = 3        # coupled iterative-refinement passes per
                                   # polish round (preconditioned Richardson on
                                   # the KKT system — recovers the digits a
                                   # short warm NS inverse leaves on the table)

@@ -260,6 +260,19 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     x, z, y = jax.lax.fori_loop(
         0, params.iterations, body, (warm_s.x, warm_s.z, warm_s.y)
     )
+    # cold start (all-zero warm state): spend the init iteration budget —
+    # the qpOASES init/hotstart asymmetry (reference cpp:523-533)
+    extra = max(0, params.cold_iterations - params.iterations)
+    if extra:
+        cold = ~(
+            jnp.any(warm.x != 0) | jnp.any(warm.z != 0) | jnp.any(warm.y != 0)
+        )
+        x, z, y = jax.lax.cond(
+            cold,
+            lambda st: jax.lax.fori_loop(0, extra, body, st),
+            lambda st: st,
+            (x, z, y),
+        )
     # back to the original space
     admm = QPState(x=d * x, z=z / e, y=e * y)
 
@@ -377,6 +390,24 @@ def solve_batched(
         warm_s.x, warm_s.z, warm_s.y,
         iters=params.iterations, sigma=params.sigma, alpha=params.alpha,
     )
+    # cold start (any scenario with an all-zero warm state): spend the init
+    # budget batch-wide — the qpOASES init/hotstart asymmetry (cpp:523-533)
+    extra = max(0, params.cold_iterations - params.iterations)
+    if extra:
+        per_cold = ~(
+            jnp.any(warm.x != 0, axis=-1)
+            | jnp.any(warm.z != 0, axis=-1)
+            | jnp.any(warm.y != 0, axis=-1)
+        )
+        x, z, y = jax.lax.cond(
+            jnp.any(per_cold),
+            lambda st: admm_iterations(
+                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, *st,
+                iters=extra, sigma=params.sigma, alpha=params.alpha,
+            ),
+            lambda st: st,
+            (x, z, y),
+        )
     admm = QPState(x=dscale * x, z=z / escale, y=escale * y)
 
     # polish at batch level so the cached inverses stay batched

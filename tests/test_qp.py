@@ -103,7 +103,9 @@ def test_warm_start_improves(rng):
     data2 = qp.QPData(
         H=data.H, g=data.g + 0.01, A=data.A, l=data.l + 0.005, u=data.u + 0.005
     )
-    few = QPSolverParams(iterations=15, polish=False)
+    # pin cold_iterations too: the point is warm-vs-cold at EQUAL budget
+    # (by default a cold start gets the qpOASES-style init boost)
+    few = QPSolverParams(iterations=15, cold_iterations=15, polish=False)
     warm, info_w = qp.solve(data2, state, few)
     cold, info_c = qp.solve(data2, qp.QPState.zeros(12, 20, jnp.float64), few)
     assert float(info_w.kkt_residual) < float(info_c.kkt_residual)
