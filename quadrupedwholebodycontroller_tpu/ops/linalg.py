@@ -163,6 +163,44 @@ def spd_inv6(M):
     return jnp.concatenate([top, bot], axis=-2)
 
 
+def _schur_inv(M, k, inv_top, inv_schur):
+    """Block-Schur SPD inverse: M = [[A (k,k), B], [B^T, D]] with the two
+    sub-inverses supplied (closed-form or recursive)."""
+    A = M[..., :k, :k]
+    B = M[..., :k, k:]
+    D = M[..., k:, k:]
+    Ainv = inv_top(A)
+    W = Ainv @ B
+    S = D - jnp.swapaxes(B, -1, -2) @ W
+    Sinv = inv_schur(S)
+    WS = W @ Sinv
+    top = jnp.concatenate([Ainv + WS @ jnp.swapaxes(W, -1, -2), -WS], axis=-1)
+    bot = jnp.concatenate([-jnp.swapaxes(WS, -1, -2), Sinv], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+@full_precision
+def spd_inv12(M):
+    """Closed-form-composed inverse of batched SPD (..., 12, 12):
+    6+6 block Schur over spd_inv6."""
+    return _schur_inv(M, 6, spd_inv6, spd_inv6)
+
+
+@full_precision
+def spd_inv18(M, refine: int = 1):
+    """Inverse of batched SPD (..., 18, 18) — the floating-base mass-matrix
+    shape — via nested block Schur (6 + 12 with 12 = 6 + 6), all built on
+    the closed-form 3x3 adjugate.  ~25 fused ops instead of a ~60-kernel
+    Newton-Schulz chain; `refine` Newton steps (X <- X(2I - MX)) polish the
+    nested-Schur rounding."""
+    X = _schur_inv(M, 6, spd_inv6, spd_inv12)
+    n = M.shape[-1]
+    eye2 = 2.0 * jnp.eye(n, dtype=M.dtype)
+    for _ in range(refine):
+        X = X @ (eye2 - M @ X)
+    return X
+
+
 @full_precision
 def solve_kkt_schur(H, B, da, g, b, reg: float = 1e-8,
                     iters: int = 30, refine: int = 2, Hinv=None,

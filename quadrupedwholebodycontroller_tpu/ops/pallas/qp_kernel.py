@@ -40,6 +40,16 @@ def _admm_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
     u = u_ref[:]
     rho = rho_ref[:]
     inv_rho = 1.0 / rho
+    body = _make_admm_body(A, Kinv, g, l, u, rho, inv_rho, sigma, alpha)
+    x, z, y = jax.lax.fori_loop(
+        0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:])
+    )
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+def _make_admm_body(A, Kinv, g, l, u, rho, inv_rho, sigma, alpha):
 
     def body(_, st):
         x, z, y = st
@@ -53,12 +63,58 @@ def _admm_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
         y_n = y + rho * (z_rel - z_n)
         return (x_n, z_n, y_n)
 
+    return body
+
+
+def _admm_res_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
+                     x0_ref, z0_ref, y0_ref,
+                     Hs_ref, lo_ref, uo_ref, d_ref, e_ref,
+                     xo_ref, zo_ref, yo_ref, pr_ref, du_ref,
+                     *, iters: int, sigma: float, alpha: float):
+    """ADMM iterations + unscaled relative-KKT epilogue in one kernel.
+
+    Scaled problem in VMEM (A = e o A_orig o d, Hs = d o H o d); the
+    epilogue reconstructs unscaled residual quantities via the identities
+    A x = (As xs)/e, H x = (Hs xs)/d, A^T y = (As^T ys)/d, g = gs/d, and
+    scores them against the UNSCALED bounds lo/uo — matching
+    ops/qp.kkt_residual exactly."""
+    A = A_ref[:]
+    Kinv = Kinv_ref[:]
+    g = g_ref[:]
+    l = l_ref[:]
+    u = u_ref[:]
+    rho = rho_ref[:]
+    body = _make_admm_body(A, Kinv, g, l, u, rho, 1.0 / rho, sigma, alpha)
     x, z, y = jax.lax.fori_loop(
         0, iters, body, (x0_ref[:], z0_ref[:], y0_ref[:])
     )
     xo_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
+
+    d = d_ref[:]          # (n, Bt)
+    e = e_ref[:]          # (m, Bt)
+    lo = lo_ref[:]        # (m, Bt) unscaled bounds
+    uo = uo_ref[:]
+    ax = jnp.sum(A * x[None, :, :], axis=1) / e
+    hx = jnp.sum(Hs_ref[:] * x[None, :, :], axis=1) / d
+    aty = jnp.sum(A * y[:, None, :], axis=0) / d
+    gu = g / d
+    fin_l = jnp.where(jnp.abs(lo) < 1e19, jnp.abs(lo), 0.0)
+    fin_u = jnp.where(jnp.abs(uo) < 1e19, jnp.abs(uo), 0.0)
+    finite_b = jnp.maximum(jnp.max(fin_l, axis=0), jnp.max(fin_u, axis=0))
+    pscale = jnp.maximum(1.0, jnp.maximum(jnp.max(jnp.abs(ax), axis=0), finite_b))
+    dscale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.max(jnp.abs(hx), axis=0),
+            jnp.maximum(jnp.max(jnp.abs(aty), axis=0),
+                        jnp.max(jnp.abs(gu), axis=0)),
+        ),
+    )
+    pr_ref[:] = (jnp.max(jnp.abs(ax - jnp.clip(ax, lo, uo)), axis=0)
+                 / pscale)[None, :]
+    du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
 
 
 @functools.partial(
@@ -132,3 +188,76 @@ def admm_iterations(Kinv, A, g, l, u, rho, x0, z0, y0,
 
     back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
     return back(xo), back(zo), back(yo)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
+)
+def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
+                        Hs, l_orig, u_orig, d, e,
+                        *, iters: int, sigma: float, alpha: float,
+                        interpret: bool = False):
+    """ADMM iterations plus the candidate's UNSCALED relative KKT residuals
+    in one kernel pass (matches ops/qp.kkt_residual).
+
+    Same scaled batch-major inputs as admm_iterations, plus the scaled
+    Hessian Hs (B,n,n), ORIGINAL bounds l_orig/u_orig (B,m), and the Ruiz
+    scalings d (B,n), e (B,m).  Returns (x, z, y, pr, du) batch-major in
+    scaled space (x,z,y) / unscaled residuals (pr, du)."""
+    B, m, n = A.shape
+    dtype = A.dtype
+    Bt = LANE_TILE
+    Bp = -(-B // Bt) * Bt
+
+    big = jnp.asarray(1e20, dtype)
+    l = jnp.clip(l, -big, big)
+    u = jnp.clip(u, -big, big)
+    l_orig = jnp.clip(l_orig, -big, big)
+    u_orig = jnp.clip(u_orig, -big, big)
+
+    def to_tile(arr, fill=None):
+        pad = [(0, Bp - B)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad)
+        if fill is not None and Bp != B:
+            arr = arr.at[B:].set(fill)
+        perm = tuple(range(1, arr.ndim)) + (0,)
+        return jnp.transpose(arr, perm)
+
+    grid = (Bp // Bt,)
+    mat_spec = lambda d0, d1: pl.BlockSpec(
+        (d0, d1, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = lambda d0: pl.BlockSpec(
+        (d0, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _admm_res_kernel, iters=iters, sigma=float(sigma), alpha=float(alpha)
+    )
+    xo, zo, yo, pr, du = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            mat_spec(n, n), mat_spec(m, n), vec_spec(n),
+            vec_spec(m), vec_spec(m), vec_spec(m),
+            vec_spec(n), vec_spec(m), vec_spec(m),
+            mat_spec(n, n), vec_spec(m), vec_spec(m),
+            vec_spec(n), vec_spec(m),
+        ],
+        out_specs=(vec_spec(n), vec_spec(m), vec_spec(m),
+                   vec_spec(1), vec_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(to_tile(Kinv), to_tile(A), to_tile(g), to_tile(l), to_tile(u),
+      to_tile(rho, fill=1.0), to_tile(x0), to_tile(z0), to_tile(y0),
+      to_tile(Hs), to_tile(l_orig), to_tile(u_orig),
+      to_tile(d, fill=1.0), to_tile(e, fill=1.0))
+
+    back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
+    return (back(xo), back(zo), back(yo),
+            back(pr)[:, 0], back(du)[:, 0])

@@ -338,34 +338,30 @@ def solve_batched(
     if backend != "pallas":
         raise ValueError(backend)
 
-    from quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel import (
-        admm_iterations,
-    )
+    from quadrupedwholebodycontroller_tpu.ops.pallas import qp_kernel
 
     n = data.H.shape[-1]
     dtype = data.H.dtype
 
-    def prepare(d, w):
-        if params.scaling_iters > 0:
-            dd, e = _ruiz_equilibrate(d, params.scaling_iters)
-        else:
-            dd = jnp.ones((n,), dtype)
-            e = jnp.ones((d.A.shape[0],), dtype)
-        sd = QPData(
-            H=dd[:, None] * d.H * dd[None, :],
-            g=dd * d.g,
-            A=e[:, None] * d.A * dd[None, :],
-            l=e * d.l,
-            u=e * d.u,
-        )
-        ws = QPState(x=w.x / dd, z=w.z * e, y=w.y / e)
-        rho = _rho_vec(sd, params)
-        K = sd.H + params.sigma * jnp.eye(n, dtype=dtype) + (sd.A.T * rho) @ sd.A
-        return sd, ws, rho, K, dd, e
-
     from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+    from quadrupedwholebodycontroller_tpu.ops.pallas import prepare_kernel
 
-    sdata, warm_s, rho, K, dscale, escale = jax.vmap(prepare)(data, warm)
+    # Ruiz + scaling in one VMEM pass (ops/pallas/prepare_kernel.py); the
+    # K matmul stays in XLA (MXU)
+    sH, sA, sg, sl, su, rho, wxs, wzs, wys, dscale, escale = (
+        prepare_kernel.prepare_scaled(
+            data.H, data.A, data.g, data.l, data.u, warm.x, warm.z, warm.y,
+            sweeps=params.scaling_iters, rho0=params.rho,
+            rho_eq_scale=params.rho_eq_scale,
+        )
+    )
+    sdata = QPData(H=sH, g=sg, A=sA, l=sl, u=su)
+    warm_s = QPState(x=wxs, z=wzs, y=wys)
+    K = (
+        sH
+        + params.sigma * jnp.eye(n, dtype=dtype)
+        + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
+    )
 
     def make_inv(warm_arr):
         """NS inverse gated on the batch-level use_warm scalar."""
@@ -385,10 +381,18 @@ def solve_batched(
         return inv
 
     Kinv = make_inv(cache.kinv if cache is not None else None)(K)
-    x, z, y = admm_iterations(
-        Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
-        warm_s.x, warm_s.z, warm_s.y,
-        iters=params.iterations, sigma=params.sigma, alpha=params.alpha,
+
+    def run_admm(x0, z0, y0, iters):
+        # iterations + the candidate's unscaled relative KKT residuals in
+        # one VMEM pass (ops/pallas/qp_kernel.admm_iterations_res)
+        return qp_kernel.admm_iterations_res(
+            Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
+            sdata.H, data.l, data.u, dscale, escale,
+            iters=iters, sigma=params.sigma, alpha=params.alpha,
+        )
+
+    x, z, y, pr_b, du_b = run_admm(
+        warm_s.x, warm_s.z, warm_s.y, params.iterations
     )
     # cold start (any scenario with an all-zero warm state): spend the init
     # budget batch-wide — the qpOASES init/hotstart asymmetry (cpp:523-533)
@@ -399,13 +403,10 @@ def solve_batched(
             | jnp.any(warm.z != 0, axis=-1)
             | jnp.any(warm.y != 0, axis=-1)
         )
-        x, z, y = jax.lax.cond(
+        x, z, y, pr_b, du_b = jax.lax.cond(
             jnp.any(per_cold),
-            lambda st: admm_iterations(
-                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, *st,
-                iters=extra, sigma=params.sigma, alpha=params.alpha,
-            ),
-            lambda st: st,
+            lambda st: run_admm(st[0], st[1], st[2], extra),
+            lambda st: (st[0], st[1], st[2], pr_b, du_b),
             (x, z, y),
         )
     admm = QPState(x=dscale * x, z=z / escale, y=escale * y)
@@ -426,7 +427,9 @@ def solve_batched(
         return pr, du, jnp.where(jnp.isfinite(tot), tot, jnp.inf)
 
     best = admm
-    pr_b, du_b, res_b = jax.vmap(residuals)(data, admm)
+    # pr_b/du_b came from the kernel epilogue (same formula as residuals())
+    res_b = jnp.maximum(pr_b, du_b)
+    res_b = jnp.where(jnp.isfinite(res_b), res_b, jnp.inf)
     polished = jnp.zeros_like(res_b, dtype=bool)
     sinv_last = cache.sinv if cache is not None else None
     for round_i in range(params.polish_rounds if params.polish else 0):
@@ -444,14 +447,16 @@ def solve_batched(
                         warm_iters=params.ns_warm_iters,
                     )
 
-            pol, sinv_last = _polish_batched(
-                data, best, params, Hinv_polish, sinv_fn
+            pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
+                data, best, params, H_reg, Hinv_polish, sinv_fn
             )
+            res_p = jnp.maximum(pr_p, du_p)
+            res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
         else:
             pol = jax.vmap(lambda d, s, hv: _polish(d, s, params, hv))(
                 data, best, Hinv_polish
             )
-        pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
+            pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
         ok = res_p <= res_b
         oke = ok[:, None]
         best = QPState(
@@ -474,12 +479,8 @@ def solve_batched(
     return best, info
 
 
-def _polish_batched(data, state, params, Hinv, sinv_fn):
-    """Batch-level polish: vmapped active-set assembly around the (already
-
-    batched) Schur solve, so the cached S inverse threads through."""
-    n = data.H.shape[-1]
-    dtype = data.H.dtype
+def _assemble_active(data, state, dtype):
+    """Active-set estimate + active-bound vector (vmapped elementwise)."""
 
     def assemble(d, s):
         ax = d.A @ s.x
@@ -492,10 +493,18 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
         b = jnp.where(upp & ~low, d.u, d.l)
         b = jnp.where(eq, d.u, b)
         b = jnp.where(active, b, 0.0)
-        da = active.astype(dtype)
-        return da, b
+        return active.astype(dtype), b
 
-    da, b = jax.vmap(assemble)(data, state)
+    return jax.vmap(assemble)(data, state)
+
+
+def _polish_batched(data, state, params, Hinv, sinv_fn):
+    """Batch-level polish: vmapped active-set assembly around the (already
+
+    batched) Schur solve, so the cached S inverse threads through."""
+    n = data.H.shape[-1]
+    dtype = data.H.dtype
+    da, b = _assemble_active(data, state, dtype)
     from quadrupedwholebodycontroller_tpu.ops.linalg import solve_kkt_schur
 
     x, y, sinv = solve_kkt_schur(
@@ -514,3 +523,28 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
     ax = jnp.einsum("bij,bj->bi", data.A, x)
     pol = QPState(x=x, z=jnp.clip(ax, data.l, data.u), y=y)
     return pol, sinv
+
+
+def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn):
+    """Pallas-kernel polish: XLA does the active-set assembly, the Schur
+    matmuls (MXU) and the Newton-Schulz inverse; the VMEM-resident kernel
+    does the whole solve + refinement + residual cascade in one pass
+    (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du)."""
+    from quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel import (
+        polish_solve,
+    )
+
+    dtype = data.H.dtype
+    m = data.A.shape[-2]
+    da, b = _assemble_active(data, state, dtype)
+    Bm = da[:, :, None] * data.A
+    diag_S = params.polish_reg * da + (1.0 - da)
+    S = Bm @ Hinv @ jnp.swapaxes(Bm, -1, -2) + jnp.einsum(
+        "bi,ij->bij", diag_S, jnp.eye(m, dtype=dtype)
+    )
+    sinv = sinv_fn(S)
+    x, y, z, pr, du = polish_solve(
+        H_reg, Hinv, sinv, data.A, da, data.g, b, data.l, data.u,
+        refine=params.polish_refine, reg=params.polish_reg,
+    )
+    return QPState(x=x, z=z, y=y), sinv, pr, du

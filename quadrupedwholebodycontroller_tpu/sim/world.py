@@ -157,10 +157,13 @@ def sim_control_period(model: RobotModel, state: SimState, tau, params: SimParam
         minv = None
     else:
         from quadrupedwholebodycontroller_tpu.ops import dynamics as _D
-        from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+        from quadrupedwholebodycontroller_tpu.ops.linalg import spd_inv18
 
         kin0 = K.forward_kinematics(model, state.base_R, state.base_p, state.q)
-        minv = ns_inverse(_D.mass_matrix(model, kin0), iters=30)
+        # nested block-Schur closed-form inverse (~25 fused ops) instead of
+        # a 30-iteration Newton-Schulz chain; the per-substep refinement in
+        # forward_dynamics cleans up the remaining rounding
+        minv = spd_inv18(_D.mass_matrix(model, kin0))
 
     def body(st, _):
         return _substep(model, st, tau, params, friction, push_wrench, minv), None

@@ -80,3 +80,33 @@ def test_spd_inv6_f32_mass_matrix_like(rng):
     A = jnp.asarray(spd(rng, 6, 1e2), jnp.float32)
     Ainv = L.spd_inv6(A)
     assert np.allclose(np.asarray(A @ Ainv), np.eye(6), atol=1e-4)
+
+
+def test_spd_inv18_mass_matrix(rng):
+    """Nested block-Schur inverse on real floating-base mass matrices."""
+    import jax
+    import jax.numpy as jnp_
+
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+    from quadrupedwholebodycontroller_tpu.ops import dynamics as D
+    from quadrupedwholebodycontroller_tpu.ops import kinematics as K
+
+    model = anymal_d_model(dtype=jnp_.float64)
+    B = 4
+    q = jnp_.asarray(INITIAL_JOINT_POS)[None] + 0.3 * jnp_.asarray(
+        rng.normal(size=(B, 12))
+    )
+    def mass(qi):
+        kin = K.forward_kinematics(
+            model, jnp_.eye(3, dtype=jnp_.float64),
+            jnp_.array([0.0, 0.0, 0.5]), qi,
+        )
+        return D.mass_matrix(model, kin)
+    M = jax.vmap(mass)(q)
+    X = L.spd_inv18(M)
+    assert np.allclose(np.asarray(M @ X), np.eye(18)[None], atol=1e-9)
+    # f32 path: good enough that 2 refinement passes reach the f32 floor
+    X32 = L.spd_inv18(jnp_.asarray(M, jnp_.float32))
+    r = np.max(np.abs(np.asarray(jnp_.asarray(M, jnp_.float32) @ X32) - np.eye(18)))
+    assert r < 5e-3, r

@@ -112,13 +112,21 @@ def test_cached_batched_step_interpret(rng):
     import functools
 
     import quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel as qk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel as pk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.prepare_kernel as prk
     from quadrupedwholebodycontroller_tpu.config import ControllerParams
     from quadrupedwholebodycontroller_tpu.control import wbc
     from quadrupedwholebodycontroller_tpu.models import anymal_d_model
     from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
     orig = qk.admm_iterations
+    orig_res = qk.admm_iterations_res
+    orig_p = pk.polish_solve
+    orig_r = prk.prepare_scaled
     qk.admm_iterations = functools.partial(orig, interpret=True)
+    qk.admm_iterations_res = functools.partial(orig_res, interpret=True)
+    pk.polish_solve = functools.partial(orig_p, interpret=True)
+    prk.prepare_scaled = functools.partial(orig_r, interpret=True)
     try:
         dtype = jnp.float32
         model = anymal_d_model(dtype=dtype)
@@ -146,3 +154,95 @@ def test_cached_batched_step_interpret(rng):
             assert float(jnp.max(out.qp_info.kkt_residual)) < 1e-3
     finally:
         qk.admm_iterations = orig
+        qk.admm_iterations_res = orig_res
+        pk.polish_solve = orig_p
+        prk.prepare_scaled = orig_r
+
+
+def test_polish_kernel_matches_xla(rng):
+    """The VMEM polish kernel (interpret mode) reproduces the XLA Schur
+    polish: same solution, same residuals, same returned Sinv."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel as pk
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+    from tests.test_qp import random_qp
+
+    B, n, m = 4, 12, 20
+    datas = [random_qp(np.random.default_rng(s), n=n, m=m, n_eq=3) for s in range(B)]
+    data = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *datas)
+    params = QPSolverParams(iterations=200)
+    # ADMM point to polish from
+    states = [qpm.solve(jax.tree.map(lambda v: v[b], data),
+                        qpm.QPState.zeros(n, m, jnp.float32),
+                        QPSolverParams(iterations=200, polish=False))[0]
+              for b in range(B)]
+    state = jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+    H_reg = data.H + params.polish_reg * jnp.eye(n, dtype=jnp.float32)
+    Hinv = ns_inverse(H_reg, params.ns_iters)
+    sinv_fn = lambda M: ns_inverse(M, params.ns_iters)
+
+    pol_x, sinv_x = qpm._polish_batched(data, state, params, Hinv, sinv_fn)
+    orig = pk.polish_solve
+    pk.polish_solve = functools.partial(orig, interpret=True)
+    try:
+        pol_k, sinv_k, pr_k, du_k = qpm._polish_batched_kernel(
+            data, state, params, H_reg, Hinv, sinv_fn
+        )
+    finally:
+        pk.polish_solve = orig
+    assert np.allclose(np.asarray(pol_k.x), np.asarray(pol_x.x), atol=1e-4)
+    assert np.allclose(np.asarray(pol_k.y), np.asarray(pol_x.y), atol=1e-4)
+    assert np.allclose(np.asarray(sinv_k), np.asarray(sinv_x), atol=1e-5)
+    # kernel residuals agree with the reference residual computation
+    for b in range(B):
+        d = jax.tree.map(lambda v: v[b], data)
+        pr, du = qpm.kkt_residual(d, pol_k.x[b], pol_k.y[b])
+        assert abs(float(pr) - float(pr_k[b])) < 1e-5
+        assert abs(float(du) - float(du_k[b])) < 1e-5
+
+
+def test_prepare_kernel_matches_xla(rng):
+    """The VMEM Ruiz/scaling kernel (interpret mode) reproduces the XLA
+    prepare stage exactly."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.prepare_kernel as prk
+    from tests.test_qp import random_qp
+
+    B, n, m = 3, 12, 20
+    datas = [random_qp(np.random.default_rng(s), n=n, m=m, n_eq=3) for s in range(B)]
+    data = jax.tree.map(lambda *xs: jnp.stack([jnp.asarray(x, jnp.float32) for x in xs]), *datas)
+    params = QPSolverParams()
+    key = jax.random.PRNGKey(0)
+    warm = qpm.QPState(
+        x=jax.random.normal(key, (B, n), jnp.float32),
+        z=jax.random.normal(key, (B, m), jnp.float32),
+        y=jax.random.normal(key, (B, m), jnp.float32),
+    )
+
+    def xla_prepare(d, w):
+        dd, e = qpm._ruiz_equilibrate(d, params.scaling_iters)
+        sd = qpm.QPData(
+            H=dd[:, None] * d.H * dd[None, :], g=dd * d.g,
+            A=e[:, None] * d.A * dd[None, :], l=e * d.l, u=e * d.u,
+        )
+        ws = qpm.QPState(x=w.x / dd, z=w.z * e, y=w.y / e)
+        rho = qpm._rho_vec(sd, params)
+        return sd, ws, rho, dd, e
+
+    sd_x, ws_x, rho_x, d_x, e_x = jax.vmap(xla_prepare)(data, warm)
+    out = functools.partial(prk.prepare_scaled, interpret=True)(
+        data.H, data.A, data.g, data.l, data.u, warm.x, warm.z, warm.y,
+        sweeps=params.scaling_iters, rho0=params.rho,
+        rho_eq_scale=params.rho_eq_scale,
+    )
+    sH, sA, sg, sl, su, rho, wxs, wzs, wys, dd, ee = out
+    for a, b, name in [
+        (sH, sd_x.H, "H"), (sA, sd_x.A, "A"), (sg, sd_x.g, "g"),
+        (sl, sd_x.l, "l"), (su, sd_x.u, "u"), (rho, rho_x, "rho"),
+        (wxs, ws_x.x, "wx"), (wzs, ws_x.z, "wz"), (wys, ws_x.y, "wy"),
+        (dd, d_x, "d"), (ee, e_x, "e"),
+    ]:
+        assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6), name

@@ -35,9 +35,13 @@ T = int(os.environ.get("TUNE_SWEEP_T", "400"))
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    gait = "trot" if "--gait" in sys.argv and "trot" in sys.argv else "walk"
-    names = args or ["default", "warm2_fast"]
+    argv = sys.argv[1:]
+    gait = "walk"
+    if "--gait" in argv:
+        i = argv.index("--gait")
+        gait = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    names = [a for a in argv if not a.startswith("--")] or ["default"]
     dtype = jnp.float32
     model = anymal_d_model(dtype=dtype)
     cp, pp, sp = ControllerParams(), PlannerParams(), SimParams()
