@@ -180,16 +180,18 @@ def wbc_setup(
 
     # ---- updateState (cpp:256-294) ----
     # one pass computes the Coriolis bias AND the primal kinematics
-    # (FK + body-CoM Jacobians) it needs anyway — everything else reuses them
-    h_cor, kin, J_body = D.coriolis_bias_full(model, obs.base_R, obs.base_p, obs.q, u)
+    # (FK + Jacobian PARTS + body velocities) it needs anyway — everything
+    # else reuses them; the (nb, 6, 18) Jacobian stack is never materialized
+    # (its padded-layout HBM traffic dominated the TPU control step)
+    h_cor, kin, parts, v_bodies = D.coriolis_bias_full(
+        model, obs.base_R, obs.base_p, obs.q, u
+    )
     com = K.robot_com(model, kin)
-    com_lin_vel = jnp.einsum(
-        "b,bij,j->i", model.mass, J_body[:, :3, :], u
-    ) / model.total_mass
+    com_lin_vel = jnp.einsum("b,ba->a", model.mass, v_bodies) / model.total_mass
     com_vel6 = jnp.concatenate([com_lin_vel, obs.base_vel[3:6]])
     current_pose = jnp.concatenate([com, spatial.matrix_to_rpy(obs.base_R)])
 
-    M = D.mass_matrix(model, kin, J_body)
+    M = D.mass_matrix_from_parts(model, kin, parts)
     tf = C.centroidal_transform(M, com, obs.base_p)
     Mc = C.centroidal_mass_matrix(M, tf)
     Mc_base = Mc[:6, :6]
@@ -210,8 +212,7 @@ def wbc_setup(
         # and the centroidal bias uses the FRESH Tdot^-1
         def mats(R, p, qq):
             kin_ = K.forward_kinematics(model, R, p, qq)
-            J_ = K.body_com_jacobians(model, kin_)
-            M_ = D.mass_matrix(model, kin_, J_)
+            M_ = D.mass_matrix(model, kin_)
             com_ = K.robot_com(model, kin_)
             tf_ = C.centroidal_transform(M_, com_, p)
             Jf_ = K.frame_jacobians(model, kin_)[:, :3, :]

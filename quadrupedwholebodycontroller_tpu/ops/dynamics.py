@@ -37,37 +37,103 @@ def mass_matrix(model: RobotModel, kin: K.KinState, J=None) -> jax.Array:
     """(nv, nv) free-floating mass matrix, mixed representation.
 
     Matches iDynTree getFreeFloatingMassMatrix (u = [v_base; omega; qdot]).
-    Pass J (body CoM Jacobians) to reuse an already-computed stack."""
-    if J is None:
-        J = K.body_com_jacobians(model, kin)      # (nb, 6, nv)
-    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    Pass J (body CoM Jacobians) to reuse an already-computed stack; without
+    one, the matrix is block-assembled from Jacobian PARTS (r, jq, jw) —
+    the (nb, 6, nv) stack is never materialized, which on TPU removes the
+    dominant padded-layout HBM traffic of the control step."""
+    if J is not None:
+        Jv, Jw = J[:, :3, :], J[:, 3:, :]
+        Iw = world_inertias(model, kin)
+        M = jnp.einsum("b,bik,bil->kl", model.mass, Jv, Jv)
+        M = M + jnp.einsum("bik,bij,bjl->kl", Jw, Iw, Jw)
+        return M
+    return mass_matrix_from_parts(
+        model, kin, K.body_com_jacobian_parts(model, kin)
+    )
+
+
+def mass_matrix_from_parts(model: RobotModel, kin: K.KinState,
+                           parts: "K.JacobianParts") -> jax.Array:
+    """Block assembly of M = sum_b m_b Jv^T Jv + Jw^T Iw Jw with
+
+        Jv_b = [I | -S(r_b) | jq_b],  Jw_b = [0 | I | jw_b]:
+
+      M[0:3,0:3] = m_tot I
+      M[0:3,3:6] = -S(sum m_b r_b)
+      M[0:3,6:]  = sum m_b jq_b
+      M[3:6,3:6] = sum m_b (|r|^2 I - r r^T) + sum Iw_b
+      M[3:6,6:]  = sum m_b r_b x jq_b + sum Iw_b jw_b
+      M[6:,6:]   = sum m_b jq^T jq + jw^T Iw jw
+    """
+    from quadrupedwholebodycontroller_tpu.ops.spatial import skew
+
+    m = model.mass
+    r, jq, jw = parts.r, parts.jq, parts.jw
     Iw = world_inertias(model, kin)
-    M = jnp.einsum("b,bik,bil->kl", model.mass, Jv, Jv)
-    M = M + jnp.einsum("bik,bij,bjl->kl", Jw, Iw, Jw)
-    return M
+    dtype = r.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    m_tot = model.total_mass
+    top_mid = -skew(jnp.einsum("b,ba->a", m, r))
+    top_right = jnp.einsum("b,bja->aj", m, jq)                     # (3, nj)
+    rot = (
+        jnp.einsum("b,b->", m, jnp.sum(r * r, axis=-1)) * eye3
+        - jnp.einsum("b,ba,bc->ac", m, r, r)
+        + jnp.sum(Iw, axis=0)
+    )
+    rxjq = jnp.cross(r[:, None, :], jq)                            # (nb, nj, 3)
+    mid_right = (
+        jnp.einsum("b,bja->aj", m, rxjq)
+        + jnp.einsum("bac,bjc->aj", Iw, jw)
+    )
+    jj = jnp.einsum("b,bja,bka->jk", m, jq, jq) + jnp.einsum(
+        "bja,bac,bkc->jk", jw, Iw, jw
+    )
+    top = jnp.concatenate([m_tot * eye3, top_mid, top_right], axis=1)
+    mid = jnp.concatenate([top_mid.T, rot, mid_right], axis=1)
+    bot = jnp.concatenate([top_right.T, mid_right.T, jj], axis=1)
+    return jnp.concatenate([top, mid, bot], axis=0)
+
+
+def project_forces_from_parts(parts: "K.JacobianParts", F, N):
+    """h = sum_b Jv_b^T F_b + Jw_b^T N_b assembled block-wise:
+
+        h[0:3] = sum F,  h[3:6] = sum r x F + sum N,
+        h[6:]  = sum jq^T F + jw^T N.
+    """
+    h_lin = jnp.sum(F, axis=0)
+    h_ang = jnp.sum(jnp.cross(parts.r, F), axis=0) + jnp.sum(N, axis=0)
+    h_j = jnp.einsum("bja,ba->j", parts.jq, F) + jnp.einsum(
+        "bja,ba->j", parts.jw, N
+    )
+    return jnp.concatenate([h_lin, h_ang, h_j])
 
 
 def coriolis_bias_full(model: RobotModel, base_R, base_p, q, u):
     """Coriolis bias plus the primal kinematics it computes along the way.
 
-    Returns (h_C (nv,), kin, J (nb,6,nv)) — callers (the WBC setup) reuse
-    kin/J instead of recomputing FK, halving the kinematics op count."""
+    Returns (h_C (nv,), kin, parts (K.JacobianParts), v_com (nb,3)) —
+    callers (the WBC setup) reuse kin/parts/body-velocities instead of
+    recomputing FK.  The (nb, 6, nv) Jacobian stack is never materialized
+    (see K.JacobianParts)."""
     flow = K.state_flow(base_R, base_p, q, u)
 
     def f(R, p, qq):
         kin = K.forward_kinematics(model, R, p, qq)
-        J = K.body_com_jacobians(model, kin)
-        vel6 = jnp.einsum("bij,j->bi", J, u)
-        return vel6[:, :3], vel6[:, 3:], kin, J
+        parts = K.body_com_jacobian_parts(model, kin)
+        v, w = K.parts_velocities(parts, u)
+        return v, w, kin, parts
 
-    (v_c, w, kin, J), (a_c, alpha, _, _) = jax.jvp(f, (base_R, base_p, q), flow)
-
-    Jv, Jw = J[:, :3, :], J[:, 3:, :]
+    (v_c, w, kin, parts), (a_c, alpha, _, _) = jax.jvp(
+        f, (base_R, base_p, q), flow
+    )
     Iw = world_inertias(model, kin)
     F = model.mass[:, None] * a_c                              # (nb, 3)
-    N = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(w, jnp.einsum("bij,bj->bi", Iw, w))
-    h = jnp.einsum("bik,bi->k", Jv, F) + jnp.einsum("bik,bi->k", Jw, N)
-    return h, kin, J
+    N = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(
+        w, jnp.einsum("bij,bj->bi", Iw, w)
+    )
+    h = project_forces_from_parts(parts, F, N)
+    return h, kin, parts, v_c
 
 
 def coriolis_bias(model: RobotModel, base_R, base_p, q, u) -> jax.Array:
@@ -75,7 +141,7 @@ def coriolis_bias(model: RobotModel, base_R, base_p, q, u) -> jax.Array:
 
     Matches the reference's computeCoriolisBias (generalizedBiasForces minus
     generalizedGravityForces, src/whole_body_controller.cpp:544-551)."""
-    h, _, _ = coriolis_bias_full(model, base_R, base_p, q, u)
+    h, _, _, _ = coriolis_bias_full(model, base_R, base_p, q, u)
     return h
 
 
@@ -88,8 +154,9 @@ def gravity_force(model: RobotModel, kin: K.KinState, g_vec) -> jax.Array:
     ever uses bias - gravity, so the sign convention cancels.  Here we return
     sum_b J_cb^T m_b g_vec (the generalized force of a +g_vec acceleration
     field), which under the centroidal transform maps to [m*g_vec; 0; 0]."""
-    J = K.body_com_jacobians(model, kin)
-    return jnp.einsum("bik,b,i->k", J[:, :3, :], model.mass, jnp.asarray(g_vec))
+    parts = K.body_com_jacobian_parts(model, kin)
+    F = model.mass[:, None] * jnp.asarray(g_vec, parts.r.dtype)[None, :]
+    return project_forces_from_parts(parts, F, jnp.zeros_like(F))
 
 
 def kinetic_energy(model: RobotModel, kin: K.KinState, u) -> jax.Array:

@@ -151,6 +151,58 @@ def body_com_jacobians(model: RobotModel, kin: KinState) -> jax.Array:
     )
 
 
+class JacobianParts(NamedTuple):
+    """The information content of the body-CoM Jacobian stack WITHOUT the
+
+    (nb, 6, nv) materialization: the mixed Jacobian of body b's CoM is
+
+        Jv_b = [ I3 | -skew(r_b) | jq_b ],   Jw_b = [ 0 | I3 | jw_b ]
+
+    so every J-contraction (velocities, mass matrix, bias projection) can
+    be assembled block-wise from these parts.  On TPU this matters: the
+    stacked (B, nb, 6, 18) tensors pad ~10x in HBM and dominate the
+    control-step's memory traffic."""
+
+    r: jax.Array    # (np, 3)      point - base origin
+    jq: jax.Array   # (np, nj, 3)  translational joint columns (masked)
+    jw: jax.Array   # (np, nj, 3)  rotational joint columns (masked)
+
+
+def jacobian_parts(model: RobotModel, kin: KinState, points,
+                   point_bodies) -> JacobianParts:
+    """Jacobian parts of world points attached to bodies (cf.
+
+    point_jacobians — same masked-cross-product math, no assembly)."""
+    dtype = points.dtype
+    mask = jnp.asarray(
+        _ancestor_mask_np(model.parent)[np.asarray(point_bodies)], dtype
+    )  # (np, nj)
+    rel = points[:, None, :] - kin.joint_origin_w[None, :, :]
+    jq = jnp.cross(kin.joint_axis_w[None, :, :], rel) * mask[..., None]
+    jw = kin.joint_axis_w[None, :, :] * mask[..., None]
+    return JacobianParts(r=points - kin.body_p[0], jq=jq, jw=jw)
+
+
+def body_com_jacobian_parts(model: RobotModel, kin: KinState) -> JacobianParts:
+    return jacobian_parts(
+        model, kin, kin.body_com_w, tuple(range(model.num_bodies))
+    )
+
+
+def parts_velocities(parts: JacobianParts, u):
+    """(v (np,3), w (np,3)) point linear / body angular velocities from
+
+    Jacobian parts: v = v_base + omega x r + jq qdot, w = omega + jw qdot."""
+    qd = u[6:]
+    v = (
+        u[0:3][None, :]
+        + jnp.cross(u[3:6][None, :], parts.r)
+        + jnp.einsum("pja,j->pa", parts.jq, qd)
+    )
+    w = u[3:6][None, :] + jnp.einsum("pja,j->pa", parts.jw, qd)
+    return v, w
+
+
 def frame_jacobians(model: RobotModel, kin: KinState) -> jax.Array:
     """(nf, 6, nv) mixed Jacobians of the named frames.
 

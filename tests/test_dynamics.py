@@ -153,3 +153,39 @@ def test_bias_energy_rate(model, rng):
     h = D.coriolis_bias(model, base_R, base_p, q, u)
     # d/dt KE(q(t), u const) = 0.5 u^T Mdot u ; and u^T C u = 0.5 u^T Mdot u
     assert np.isclose(float(dke), float(jnp.dot(u, h)), rtol=1e-10)
+
+
+def test_jacobian_parts_equivalences(model, rng):
+    """The parts-based (never-materialized-J) assembly reproduces the
+    J-stack mass matrix, force projection, and body velocities exactly."""
+    from quadrupedwholebodycontroller_tpu.ops import kinematics as K
+
+    for _ in range(3):
+        R = K.spatial.axis_angle_to_matrix(
+            jnp.asarray(rng.normal(size=3) / 3), jnp.asarray(rng.normal())
+        ) if hasattr(K, "spatial") else jnp.eye(3)
+        from quadrupedwholebodycontroller_tpu.ops import spatial
+        ax = rng.normal(size=3); ax = ax / np.linalg.norm(ax)
+        R = spatial.axis_angle_to_matrix(jnp.asarray(ax), jnp.asarray(rng.normal()))
+        p = jnp.asarray(rng.normal(size=3))
+        q = jnp.asarray(rng.normal(size=12))
+        u = jnp.asarray(rng.normal(size=18))
+        kin = K.forward_kinematics(model, R, p, q)
+        J = K.body_com_jacobians(model, kin)
+        parts = K.body_com_jacobian_parts(model, kin)
+
+        M_ref = D.mass_matrix(model, kin, J)
+        M_new = D.mass_matrix_from_parts(model, kin, parts)
+        assert np.allclose(np.asarray(M_new), np.asarray(M_ref), atol=1e-11)
+
+        F = jnp.asarray(rng.normal(size=(model.num_bodies, 3)))
+        N = jnp.asarray(rng.normal(size=(model.num_bodies, 3)))
+        h_ref = (jnp.einsum("bik,bi->k", J[:, :3, :], F)
+                 + jnp.einsum("bik,bi->k", J[:, 3:, :], N))
+        h_new = D.project_forces_from_parts(parts, F, N)
+        assert np.allclose(np.asarray(h_new), np.asarray(h_ref), atol=1e-11)
+
+        vel6 = jnp.einsum("bij,j->bi", J, u)
+        v, w = K.parts_velocities(parts, u)
+        assert np.allclose(np.asarray(v), np.asarray(vel6[:, :3]), atol=1e-11)
+        assert np.allclose(np.asarray(w), np.asarray(vel6[:, 3:]), atol=1e-11)

@@ -65,15 +65,15 @@ def main():
     @full_precision
     def p1(o):
         u = jnp.concatenate([o.base_vel, o.qd])
-        h, kin, J = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
-        return h, kin.body_com_w, J
+        h, kin, parts, v = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
+        return h, kin.body_com_w, parts.jq, v
 
     @full_precision
     def p2(o):
         u = jnp.concatenate([o.base_vel, o.qd])
-        h, kin, J = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
+        h, kin, parts, v = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
         com = K.robot_com(model, kin)
-        M = D.mass_matrix(model, kin, J)
+        M = D.mass_matrix_from_parts(model, kin, parts)
         tf = C.centroidal_transform(M, com, o.base_p)
         Mc = C.centroidal_mass_matrix(M, tf)
         return h, Mc, tf.T
@@ -81,9 +81,9 @@ def main():
     @full_precision
     def p3(o):
         u = jnp.concatenate([o.base_vel, o.qd])
-        h, kin, J = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
+        h, kin, parts, v = D.coriolis_bias_full(model, o.base_R, o.base_p, o.q, u)
         com = K.robot_com(model, kin)
-        M = D.mass_matrix(model, kin, J)
+        M = D.mass_matrix_from_parts(model, kin, parts)
         tf = C.centroidal_transform(M, com, o.base_p)
         Mc = C.centroidal_mass_matrix(M, tf)
         J_feet = K.frame_jacobians(model, kin)[:, :3, :]
