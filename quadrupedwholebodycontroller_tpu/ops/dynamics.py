@@ -24,6 +24,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from quadrupedwholebodycontroller_tpu.models.robot_model import RobotModel
 from quadrupedwholebodycontroller_tpu.ops import kinematics as K
 
@@ -109,13 +111,89 @@ def project_forces_from_parts(parts: "K.JacobianParts", F, N):
     return jnp.concatenate([h_lin, h_ang, h_j])
 
 
+def velocity_product_kinematics(model: RobotModel, kin: K.KinState, u):
+    """Per-body angular velocity, angular acceleration, and CoM linear
+    acceleration under u_dot = 0 (velocity-product terms only).
+
+    Closed-form level recursion instead of a jvp tangent pass — half the op
+    count, which matters because the batched setup is dispatch-latency-bound
+    on TPU (see CLAUDE.md).  Per level, with the child body origin a material
+    point of the parent and the joint axis fixed in the parent frame:
+
+        w_c     = w_p + qdot a_w
+        alpha_c = alpha_p + qdot (w_p x a_w)
+        a_oc    = a_op + alpha_p x r + w_p x (w_p x r),  r = p_c - p_p
+
+    and per body CoM (material point of its own body, d = c_w - p_b):
+
+        a_com = a_o + alpha x d + w x (w x d).
+
+    In the MIXED representation the base seeds are w = u[3:6],
+    alpha = a_o = 0 (u constant along the flow).  Returns
+    (w (nb,3), alpha (nb,3), a_com (nb,3))."""
+    nb = model.num_bodies
+    dtype = u.dtype
+    zero3 = jnp.zeros(3, dtype)
+    w_list = [None] * nb
+    al_list = [None] * nb
+    ao_list = [None] * nb
+    w_list[0] = u[3:6]
+    al_list[0] = zero3
+    ao_list[0] = zero3
+    qd = u[6:]
+
+    for bodies, parents in K._levels(model.parent):
+        jidx = np.asarray([b - 1 for b in bodies])
+        bidx = np.asarray(bodies)
+        pidx = np.asarray(parents)
+        wp = jnp.stack([w_list[p] for p in parents])      # (L, 3)
+        alp = jnp.stack([al_list[p] for p in parents])
+        aop = jnp.stack([ao_list[p] for p in parents])
+        r = kin.body_p[bidx] - kin.body_p[pidx]
+        ax = kin.joint_axis_w[jidx]
+        qdj = qd[jidx][:, None]
+        a_o = aop + jnp.cross(alp, r) + jnp.cross(wp, jnp.cross(wp, r))
+        w_c = wp + qdj * ax
+        al_c = alp + qdj * jnp.cross(wp, ax)
+        for i, b in enumerate(bodies):
+            w_list[b] = w_c[i]
+            al_list[b] = al_c[i]
+            ao_list[b] = a_o[i]
+
+    w = jnp.stack(w_list)
+    alpha = jnp.stack(al_list)
+    a_o = jnp.stack(ao_list)
+    d = kin.body_com_w - kin.body_p
+    a_com = a_o + jnp.cross(alpha, d) + jnp.cross(w, jnp.cross(w, d))
+    return w, alpha, a_com
+
+
 def coriolis_bias_full(model: RobotModel, base_R, base_p, q, u):
     """Coriolis bias plus the primal kinematics it computes along the way.
 
     Returns (h_C (nv,), kin, parts (K.JacobianParts), v_com (nb,3)) —
     callers (the WBC setup) reuse kin/parts/body-velocities instead of
     recomputing FK.  The (nb, 6, nv) Jacobian stack is never materialized
-    (see K.JacobianParts)."""
+    (see K.JacobianParts).  Velocity-product accelerations come from the
+    closed-form recursion (velocity_product_kinematics); the jvp route is
+    kept as coriolis_bias_full_jvp for cross-validation."""
+    kin = K.forward_kinematics(model, base_R, base_p, q)
+    parts = K.body_com_jacobian_parts(model, kin)
+    v_c, _ = K.parts_velocities(parts, u)
+    w, alpha, a_c = velocity_product_kinematics(model, kin, u)
+    Iw = world_inertias(model, kin)
+    F = model.mass[:, None] * a_c                              # (nb, 3)
+    N = jnp.einsum("bij,bj->bi", Iw, alpha) + jnp.cross(
+        w, jnp.einsum("bij,bj->bi", Iw, w)
+    )
+    h = project_forces_from_parts(parts, F, N)
+    return h, kin, parts, v_c
+
+
+def coriolis_bias_full_jvp(model: RobotModel, base_R, base_p, q, u):
+    """jvp-based reference implementation of coriolis_bias_full (the
+    principle-of-virtual-work derivation, exact by construction) — used to
+    validate the closed-form recursion."""
     flow = K.state_flow(base_R, base_p, q, u)
 
     def f(R, p, qq):

@@ -432,9 +432,16 @@ def solve_batched(
     res_b = jnp.where(jnp.isfinite(res_b), res_b, jnp.inf)
     polished = jnp.zeros_like(res_b, dtype=bool)
     sinv_last = cache.sinv if cache is not None else None
+    prev_da, prev_b = None, None
     for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
-            if round_i > 0:
+            da, b = _assemble_active(data, best, dtype)
+            if round_i == 0:
+                pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
+                    data, best, params, H_reg, Hinv_polish, sinv_fn,
+                    da_b=(da, b),
+                )
+            else:
                 # chain: round k warms from round k-1's inverse of THIS
                 # step's Schur matrix — a strictly fresher start than the
                 # cross-step cache, valid even on cold (use_warm=False)
@@ -447,9 +454,23 @@ def solve_batched(
                         warm_iters=params.ns_warm_iters,
                     )
 
-            pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
-                data, best, params, H_reg, Hinv_polish, sinv_fn
-            )
+                # if the active-set estimate AND active bounds are unchanged
+                # after the previous round, this round's KKT system is
+                # identical — its solution would be the same point, so the
+                # whole round (Schur formation, NS inverse, solve kernel) is
+                # skipped batch-wide.  In steady phases this removes half
+                # the polish cost.
+                changed = jnp.any(da != prev_da) | jnp.any(b != prev_b)
+                inf_r = jnp.full_like(pr_b, jnp.inf)
+                pol, sinv_last, pr_p, du_p = jax.lax.cond(
+                    changed,
+                    lambda: _polish_batched_kernel(
+                        data, best, params, H_reg, Hinv_polish, sinv_fn,
+                        da_b=(da, b),
+                    ),
+                    lambda: (best, sinv_prev, inf_r, inf_r),
+                )
+            prev_da, prev_b = da, b
             res_p = jnp.maximum(pr_p, du_p)
             res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
         else:
@@ -525,18 +546,21 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
     return pol, sinv
 
 
-def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn):
+def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
+                           da_b=None):
     """Pallas-kernel polish: XLA does the active-set assembly, the Schur
     matmuls (MXU) and the Newton-Schulz inverse; the VMEM-resident kernel
     does the whole solve + refinement + residual cascade in one pass
-    (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du)."""
+    (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du).
+
+    da_b: optional pre-computed (da, b) from _assemble_active."""
     from quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel import (
         polish_solve,
     )
 
     dtype = data.H.dtype
     m = data.A.shape[-2]
-    da, b = _assemble_active(data, state, dtype)
+    da, b = _assemble_active(data, state, dtype) if da_b is None else da_b
     Bm = da[:, :, None] * data.A
     diag_S = params.polish_reg * da + (1.0 - da)
     S = Bm @ Hinv @ jnp.swapaxes(Bm, -1, -2) + jnp.einsum(

@@ -189,3 +189,21 @@ def test_jacobian_parts_equivalences(model, rng):
         v, w = K.parts_velocities(parts, u)
         assert np.allclose(np.asarray(v), np.asarray(vel6[:, :3]), atol=1e-11)
         assert np.allclose(np.asarray(w), np.asarray(vel6[:, 3:]), atol=1e-11)
+
+
+def test_velocity_product_recursion_matches_jvp(model, rng):
+    """The closed-form level recursion for velocity-product accelerations
+    (velocity_product_kinematics) must reproduce the jvp-derived bias and
+    body velocities exactly — the jvp route is exact by construction."""
+    for _ in range(5):
+        base_R, base_p, q, u = random_state(rng)
+        h1, kin1, _, v1 = D.coriolis_bias_full(model, base_R, base_p, q, u)
+        h2, kin2, _, v2 = D.coriolis_bias_full_jvp(model, base_R, base_p, q, u)
+        assert np.allclose(np.asarray(h1), np.asarray(h2), atol=1e-11)
+        assert np.allclose(np.asarray(v1), np.asarray(v2), atol=1e-12)
+
+        # the recursion's own w must equal the Jacobian-parts angular velocity
+        parts = K.body_com_jacobian_parts(model, kin1)
+        _, w_parts = K.parts_velocities(parts, u)
+        w, alpha, a_c = D.velocity_product_kinematics(model, kin1, u)
+        assert np.allclose(np.asarray(w), np.asarray(w_parts), atol=1e-12)
