@@ -256,6 +256,63 @@ def cmd_sweep(args):
     )
 
 
+def cmd_inspect(args):
+    """Model inspector — the headless analogue of the reference's
+    standalone.launch (joint_state_publisher sliders + robot_state_publisher
+    + RViz, launch/standalone.launch:19-39): set a joint configuration, get
+    the forward-kinematics view of the model (frame poses, CoM, per-body
+    masses) and optionally a rendered skeleton."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+    from quadrupedwholebodycontroller_tpu.ops import kinematics as K
+
+    model = anymal_d_model(dtype=jnp.float64 if args.dtype == "float64" else jnp.float32)
+    dtype = model.mass.dtype
+    if args.q:
+        q = jnp.asarray([float(v) for v in args.q.split(",")], dtype)
+        assert q.shape[0] == model.num_joints, (
+            f"expected {model.num_joints} joint angles, got {q.shape[0]}"
+        )
+    else:
+        q = jnp.asarray(INITIAL_JOINT_POS, dtype)
+    base_p = jnp.asarray([0.0, 0.0, args.z], dtype)
+    kin = K.forward_kinematics(model, jnp.eye(3, dtype=dtype), base_p, q)
+    com = K.robot_com(model, kin)
+
+    print(f"model: {model.name}  bodies={model.num_bodies} joints={model.num_joints} "
+          f"total_mass={float(model.total_mass):.4f} kg")
+    print(f"com: [{float(com[0]):+.4f} {float(com[1]):+.4f} {float(com[2]):+.4f}]")
+    for j, name in enumerate(model.joint_names):
+        print(f"  joint {name:10s} q={float(q[j]):+.4f} rad  "
+              f"origin={np.round(np.asarray(kin.joint_origin_w[j]), 4)}")
+    for f, name in enumerate(model.frame_names):
+        print(f"  frame {name:10s} p={np.round(np.asarray(kin.frame_p[f]), 4)}")
+    if args.out:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig = plt.figure(figsize=(7, 6))
+        ax = fig.add_subplot(111, projection="3d")
+        bp = np.asarray(kin.body_p)
+        for b in range(1, model.num_bodies):
+            pa = bp[model.parent[b]]
+            pb = bp[b]
+            ax.plot(*zip(pa, pb), "o-", color="tab:blue", ms=3)
+        fp = np.asarray(kin.frame_p)
+        ax.scatter(fp[:, 0], fp[:, 1], fp[:, 2], c="tab:red", s=30, label="feet")
+        c = np.asarray(com)
+        ax.scatter([c[0]], [c[1]], [c[2]], c="k", marker="x", s=60, label="CoM")
+        ax.set_xlabel("x"); ax.set_ylabel("y"); ax.set_zlabel("z")
+        ax.legend(); ax.set_title(f"{model.name} @ z={args.z}")
+        fig.savefig(args.out, dpi=110)
+        print("skeleton ->", args.out)
+
+
 def cmd_plot(args):
     from quadrupedwholebodycontroller_tpu.viz import plots
 
@@ -287,6 +344,12 @@ def main(argv=None):
     p.add_argument("trace"); p.add_argument("--out", default="run.png")
     p.add_argument("--skip", type=float, default=3.0)
     p.set_defaults(fn=cmd_plot)
+    p = sub.add_parser("inspect")
+    p.add_argument("--q", default="", help="12 comma-separated joint angles (rad)")
+    p.add_argument("--z", type=float, default=0.6, help="base height")
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--out", default="", help="save a 3D skeleton png")
+    p.set_defaults(fn=cmd_inspect)
 
     args = ap.parse_args(argv)
     return args.fn(args)

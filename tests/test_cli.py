@@ -47,3 +47,12 @@ def test_sweep_trot_cli(capsys):
     ])
     out = capsys.readouterr().out
     assert "sweep B=8" in out
+
+
+def test_inspect_cli(tmp_path, capsys):
+    out_png = str(tmp_path / "skel.png")
+    cli.main(["inspect", "--dtype", "float64", "--out", out_png])
+    out = capsys.readouterr().out
+    assert "total_mass=51.6357" in out
+    assert "frame LH_FOOT" in out
+    assert os.path.exists(out_png)

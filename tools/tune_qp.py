@@ -48,6 +48,12 @@ CONFIGS = {
     "warm2_fast": QPSolverParams(
         ns_warm_iters=2, scaling_iters=4, iterations=50, polish_refine=3
     ),
+    # 1-iteration NS tracking: the (B,70,70)/(B,42,42) warm updates are
+    # HBM-bound, so halving them is a real win IF the polish refinement
+    # absorbs the extra preconditioner error
+    "warm1": QPSolverParams(ns_warm_iters=1),
+    "warm1_refine4": QPSolverParams(ns_warm_iters=1, polish_refine=4),
+    "warm1_iters40": QPSolverParams(ns_warm_iters=1, iterations=40),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
