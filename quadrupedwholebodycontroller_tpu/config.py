@@ -102,7 +102,16 @@ class QPSolverParams:
     alpha: float = 1.6            # over-relaxation
     scaling_iters: int = 4        # Ruiz equilibration sweeps (0 = off)
     ns_iters: int = 30            # Newton-Schulz iterations for matmul-only inverses
-    ns_warm_iters: int = 2        # NS iterations when restarting from a carried cache
+    ns_warm_iters: int = 3        # NS iterations when restarting from a carried cache
+    ns_warm_iters_polish: int = 1  # same, for the polish Schur inverse only;
+                                  # -1 = use ns_warm_iters.  The polish
+                                  # kernel's refinement passes recompute true
+                                  # KKT residuals, so its inverses tolerate a
+                                  # cruder warm update than the ADMM K^-1
+                                  # (whose error shifts the iterate unguarded):
+                                  # on-chip tuning (tools/tune_qp.py) shows
+                                  # 3/1 is ~5% faster than 2/2 at equal
+                                  # walking quality
     polish: bool = True           # active-set KKT polish after ADMM
     polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9

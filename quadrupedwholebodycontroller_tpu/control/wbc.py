@@ -354,6 +354,35 @@ def _finish_step(setup: WBCSetup, qp_state, qp_info, carry: WBCCarry):
     return out, new_carry
 
 
+def _wbc_polish_hinv(H_reg):
+    """Exact closed-form inverse of the regularized WBC polish Hessian.
+
+    Per the QP layout (SURVEY §3.5, reference cpp:471-484) H is block
+    diagonal: identity on the [u_dot_com; qddot] vars, I + J_c,com J_c,com^T
+    on the GRF block (rows 18:30), slack_weight I on the slacks — so the
+    inverse is two reciprocal diagonals plus one 12x12 SPD closed-form
+    block inverse (rank-6 + identity; ops/linalg.spd_inv12 + one Newton
+    polish step).  Replaces the (B, 42, 42) carried Newton-Schulz update."""
+    from quadrupedwholebodycontroller_tpu.ops.linalg import spd_inv12
+
+    dtype = H_reg.dtype
+    B, n = H_reg.shape[0], H_reg.shape[-1]
+    blk = H_reg[:, 18:30, 18:30]
+    blk_inv = spd_inv12(blk)
+    eye2 = 2.0 * jnp.eye(12, dtype=dtype)
+    blk_inv = blk_inv @ (eye2 - blk @ blk_inv)  # one Newton step on rounding
+    diag = jnp.concatenate(
+        [
+            jnp.broadcast_to(1.0 / H_reg[:, 0:1, 0], (B, 18)),
+            jnp.zeros((B, 12), dtype),
+            jnp.broadcast_to(1.0 / H_reg[:, 30:31, 30], (B, 12)),
+        ],
+        axis=1,
+    )
+    out = jax.vmap(jnp.diag)(diag)
+    return out.at[:, 18:30, 18:30].set(blk_inv)
+
+
 def _switch_masked_warm(carry: WBCCarry, switch):
     """On a contact switch the carried duals refer to re-masked constraint
 
@@ -396,15 +425,18 @@ def wbc_step_batched(
     )(obs, ref, carry, ref_is_new_b)
     switch = setup.carry_updates["switch_flag"]
     warm = jax.vmap(_switch_masked_warm)(carry, switch)
+    hinv_fn = _wbc_polish_hinv if qp_backend == "pallas" else None
     if qp_cache is not None:
         use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch)
         qp_state, qp_info, new_cache = qp.solve_batched(
             setup.qp_data, warm, qp_params, qp_backend,
-            cache=qp_cache, use_warm=use_warm,
+            cache=qp_cache, use_warm=use_warm, hinv_fn=hinv_fn,
         )
         out, new_carry = jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
         return out, new_carry, new_cache
-    qp_state, qp_info = qp.solve_batched(setup.qp_data, warm, qp_params, qp_backend)
+    qp_state, qp_info = qp.solve_batched(
+        setup.qp_data, warm, qp_params, qp_backend, hinv_fn=hinv_fn
+    )
     return jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
 
 

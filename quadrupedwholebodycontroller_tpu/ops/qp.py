@@ -316,6 +316,7 @@ def solve_batched(
     backend: str = "xla",
     cache: "QPCache | None" = None,
     use_warm=None,
+    hinv_fn=None,
 ):
     """Batched solve over a leading batch axis on every leaf.
 
@@ -329,7 +330,13 @@ def solve_batched(
     Newton-Schulz inverses restart from the cache with few iterations
     (per-element safeguard falls back to a cold start); pass False on the
     first cycle and whenever any scenario's contact set switched.  Returns
-    (state, info, new_cache) when a cache is provided."""
+    (state, info, new_cache) when a cache is provided.
+
+    hinv_fn (pallas backend): optional callable (B, n, n) -> (B, n, n)
+    producing the inverse of the regularized polish Hessian directly —
+    callers that know the problem's block structure (the WBC QP's H is
+    block-diagonal) supply an exact closed form and skip the carried-NS
+    update entirely."""
     if backend == "xla":
         out = jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
         if cache is not None:
@@ -363,8 +370,15 @@ def solve_batched(
         + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
     )
 
-    def make_inv(warm_arr):
+    wi_polish = (
+        params.ns_warm_iters_polish
+        if params.ns_warm_iters_polish >= 0
+        else params.ns_warm_iters
+    )
+
+    def make_inv(warm_arr, wi=None):
         """NS inverse gated on the batch-level use_warm scalar."""
+        wi = params.ns_warm_iters if wi is None else wi
         if cache is None or use_warm is None:
             return lambda M: ns_inverse(M, params.ns_iters)
 
@@ -372,8 +386,7 @@ def solve_batched(
             return jax.lax.cond(
                 use_warm,
                 lambda: ns_inverse(
-                    M, params.ns_iters, warm=warm_arr,
-                    warm_iters=params.ns_warm_iters,
+                    M, params.ns_iters, warm=warm_arr, warm_iters=wi,
                 ),
                 lambda: ns_inverse(M, params.ns_iters),
             )
@@ -416,10 +429,19 @@ def solve_batched(
     eye_n = jnp.eye(n_, dtype=dtype)
     H_reg = data.H + params.polish_reg * eye_n
     if params.polish:
-        Hinv_polish = make_inv(cache.hinv if cache is not None else None)(H_reg)
+        if hinv_fn is not None:
+            Hinv_polish = hinv_fn(H_reg)
+        else:
+            Hinv_polish = make_inv(
+                cache.hinv if cache is not None else None, wi=wi_polish
+            )(H_reg)
     else:
         Hinv_polish = None
-    sinv_fn = make_inv(cache.sinv if cache is not None else None) if params.polish else None
+    sinv_fn = (
+        make_inv(cache.sinv if cache is not None else None, wi=wi_polish)
+        if params.polish
+        else None
+    )
 
     def residuals(d, s):
         pr, du = kkt_residual(d, s.x, s.y)
@@ -450,8 +472,7 @@ def solve_batched(
 
                 def sinv_fn(M, w=sinv_prev):
                     return ns_inverse(
-                        M, params.ns_iters, warm=w,
-                        warm_iters=params.ns_warm_iters,
+                        M, params.ns_iters, warm=w, warm_iters=wi_polish,
                     )
 
                 # if the active-set estimate AND active bounds are unchanged

@@ -177,3 +177,40 @@ def test_batched_step_matches_single(model, cp):
     out_s, _ = wbc.wbc_step(model, cp, QPSolverParams(), obs, ref, carry)
     assert np.allclose(np.asarray(out_b.tau[0]), np.asarray(out_s.tau), atol=1e-10)
     assert np.allclose(np.asarray(out_b.grf[2]), np.asarray(out_s.grf), atol=1e-10)
+
+
+def test_wbc_polish_hinv_closed_form():
+    """The structured polish H^-1 (block-diagonal closed form) must invert
+    the real assembled WBC QP Hessian to machine precision, for both full
+    stance and trot-like contacts."""
+    import jax
+
+    from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+
+    dtype = jnp.float64
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams()
+    qpp = QPSolverParams()
+    B = 3
+    key = jax.random.PRNGKey(0)
+    obs = wbc.RobotObservation(
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+        + 0.01 * jax.random.normal(key, (B, 3), dtype),
+        base_vel=0.02 * jax.random.normal(key, (B, 6), dtype),
+        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
+        qd=0.05 * jax.random.normal(key, (B, 12), dtype),
+    )
+    ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype))
+    carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    for contacts in ([1.0, 1.0, 1.0, 1.0], [1.0, 0.0, 1.0, 0.0]):
+        r = ref._replace(contacts=jnp.tile(jnp.asarray(contacts, dtype), (B, 1)))
+        setup = jax.vmap(lambda o, rr, c: wbc.wbc_setup(model, cp, o, rr, c))(
+            obs, r, carry
+        )
+        H_reg = setup.qp_data.H + qpp.polish_reg * jnp.eye(42, dtype=dtype)
+        Hinv = wbc._wbc_polish_hinv(H_reg)
+        err = float(jnp.max(jnp.abs(Hinv @ H_reg - jnp.eye(42, dtype=dtype))))
+        assert err < 1e-12

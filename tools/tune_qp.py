@@ -54,6 +54,10 @@ CONFIGS = {
     "warm1": QPSolverParams(ns_warm_iters=1),
     "warm1_refine4": QPSolverParams(ns_warm_iters=1, polish_refine=4),
     "warm1_iters40": QPSolverParams(ns_warm_iters=1, iterations=40),
+    # split tracking: full-rate NS on the ADMM K^-1 (unguarded), 1-iteration
+    # NS on the polish inverses (guarded by the refinement passes)
+    "polish_warm1": QPSolverParams(ns_warm_iters=2, ns_warm_iters_polish=1),
+    "kinv3_polish1": QPSolverParams(ns_warm_iters=3, ns_warm_iters_polish=1),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
