@@ -405,6 +405,7 @@ def wbc_step_batched(
     qp_backend: str = "xla",
     qp_cache: "qp.QPCache | None" = None,
     cache_valid=False,
+    setup_backend: str = "auto",
 ):
     """Batched control cycle: vmapped state update / assembly around a
 
@@ -417,12 +418,42 @@ def wbc_step_batched(
     disable the warm path automatically.  Returns (out, carry, cache) when
     a cache is passed.
 
+    setup_backend: "xla" (vmapped wbc_setup), "pallas" (the fused one-launch
+    setup kernel, ops/pallas/setup_kernel.py), or "auto" — pallas whenever
+    the QP backend is pallas and the reference-faithful FD path is active
+    (the kernel does not implement exact_derivatives).
+
     ref_is_new may be a scalar or a per-scenario (B,) array."""
     B = obs.q.shape[0]
     ref_is_new_b = jnp.broadcast_to(jnp.asarray(ref_is_new), (B,))
-    setup = jax.vmap(
-        lambda o, r, c, rn: wbc_setup(model, params, o, r, c, rn)
-    )(obs, ref, carry, ref_is_new_b)
+    if setup_backend == "auto":
+        setup_backend = (
+            "pallas"
+            if qp_backend == "pallas" and not params.exact_derivatives
+            else "xla"
+        )
+    if setup_backend == "pallas":
+        from quadrupedwholebodycontroller_tpu.ops.pallas import setup_kernel
+
+        sk = setup_kernel.setup_batched(
+            model, params, obs, ref, carry, ref_is_new_b
+        )
+        setup = WBCSetup(
+            qp_data=qp.QPData(
+                H=sk["H"], g=sk["g"], A=sk["A"], l=sk["l"], u=sk["u"]
+            ),
+            h_c=sk["h_c"],
+            Mc_jj=sk["Mc_jj"],
+            Jc_st_j=sk["Jc_st_j"],
+            com=sk["com"],
+            current_pose=sk["current_pose"],
+            foot_pos=sk["foot_pos"],
+            carry_updates=sk["carry_updates"],
+        )
+    else:
+        setup = jax.vmap(
+            lambda o, r, c, rn: wbc_setup(model, params, o, r, c, rn)
+        )(obs, ref, carry, ref_is_new_b)
     switch = setup.carry_updates["switch_flag"]
     warm = jax.vmap(_switch_masked_warm)(carry, switch)
     hinv_fn = _wbc_polish_hinv if qp_backend == "pallas" else None

@@ -117,6 +117,183 @@ def _admm_res_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
     du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
 
 
+def _admm_zy_kernel(P_ref, c_ref, l_ref, u_ref, rho_ref, z0_ref, y0_ref,
+                    zo_ref, yo_ref, Vo_ref, *, iters: int, alpha: float):
+    """Constraint-space ADMM loop (sigma = 0).
+
+    With sigma = 0 the x-update x~ = K^{-1}(A^T u - g), u = rho z - y, makes
+    the (z, y) iteration closed:  z~ = P u + c  with  P = A K^{-1} A^T and
+    c = -A K^{-1} g  precomputed — ONE (m, m) reduction per iteration instead
+    of the three chained (m,n)/(n,n)/(m,n) reductions of the x-space body.
+    The relaxed x_K is recovered EXACTLY from the linear recursion
+        x_{k+1} = (1-alpha) x_k + alpha (K^{-1}A^T u_k - K^{-1}g)
+    via the accumulator V_{k+1} = (1-alpha) V_k + alpha u_k  (V_0 = 0):
+        x_K = (1-alpha)^K x_0 + K^{-1}A^T V_K - (1 - (1-alpha)^K) K^{-1}g
+    (the epilogue kernel below).  Same fixed point as the sigma > 0
+    iteration (the proximal term vanishes at convergence); sigma only
+    changes the path.  Split from the epilogue so only P is VMEM-resident
+    here — one fused kernel blows the 16 MB scoped-VMEM budget."""
+    P = P_ref[:]          # (m, m, Bt)
+    c = c_ref[:]          # (m, Bt)  -A K^{-1} g
+    l = l_ref[:]
+    u = u_ref[:]
+    rho = rho_ref[:]
+    inv_rho = 1.0 / rho
+
+    def body(_, st):
+        z, y, V = st
+        t = rho * z - y                                        # (m, Bt)
+        z_t = jnp.sum(P * t[None, :, :], axis=1) + c           # (m, Bt)
+        z_rel = alpha * z_t + (1.0 - alpha) * z
+        z_n = jnp.clip(z_rel + y * inv_rho, l, u)
+        y_n = y + rho * (z_rel - z_n)
+        V_n = (1.0 - alpha) * V + alpha * t
+        return (z_n, y_n, V_n)
+
+    z0 = z0_ref[:]
+    z, y, V = jax.lax.fori_loop(0, iters, body, (z0, y0_ref[:],
+                                                 jnp.zeros_like(z0)))
+    zo_ref[:] = z
+    yo_ref[:] = y
+    Vo_ref[:] = V
+
+
+def _zy_epilogue_kernel(Kinv_ref, Kg_ref, A_ref, g_ref, Hs_ref,
+                        x0_ref, V_ref, y_ref,
+                        lo_ref, uo_ref, d_ref, e_ref,
+                        xo_ref, pr_ref, du_ref,
+                        *, iters: int, alpha: float):
+    """x reconstruction from the V accumulator + unscaled relative-KKT
+    residuals (matches ops/qp.kkt_residual / _admm_res_kernel's epilogue)."""
+    A = A_ref[:]          # (m, n, Bt)
+    Kg = Kg_ref[:]        # (n, Bt)
+    y = y_ref[:]
+    w0 = (1.0 - alpha) ** iters
+    atv = jnp.sum(A * V_ref[:][:, None, :], axis=0)            # A^T V  (n, Bt)
+    x = (
+        w0 * x0_ref[:]
+        + jnp.sum(Kinv_ref[:] * atv[None, :, :], axis=1)
+        - (1.0 - w0) * Kg
+    )
+    xo_ref[:] = x
+
+    d = d_ref[:]
+    e = e_ref[:]
+    lo = lo_ref[:]
+    uo = uo_ref[:]
+    ax = jnp.sum(A * x[None, :, :], axis=1) / e
+    hx = jnp.sum(Hs_ref[:] * x[None, :, :], axis=1) / d
+    aty = jnp.sum(A * y[:, None, :], axis=0) / d
+    gu = g_ref[:] / d
+    fin_l = jnp.where(jnp.abs(lo) < 1e19, jnp.abs(lo), 0.0)
+    fin_u = jnp.where(jnp.abs(uo) < 1e19, jnp.abs(uo), 0.0)
+    finite_b = jnp.maximum(jnp.max(fin_l, axis=0), jnp.max(fin_u, axis=0))
+    pscale = jnp.maximum(1.0, jnp.maximum(jnp.max(jnp.abs(ax), axis=0), finite_b))
+    dscale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.max(jnp.abs(hx), axis=0),
+            jnp.maximum(jnp.max(jnp.abs(aty), axis=0),
+                        jnp.max(jnp.abs(gu), axis=0)),
+        ),
+    )
+    pr_ref[:] = (jnp.max(jnp.abs(ax - jnp.clip(ax, lo, uo)), axis=0)
+                 / pscale)[None, :]
+    du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "alpha", "interpret")
+)
+def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
+                           Hs, l_orig, u_orig, d, e,
+                           *, iters: int, alpha: float,
+                           interpret: bool = False):
+    """Constraint-space (sigma = 0) ADMM + residual epilogue, batch-major.
+
+    P (B,m,m) = A K^{-1} A^T, Kinv (B,n,n), Kg (B,n) = K^{-1} g, all in
+    SCALED space; the rest as admm_iterations_res.
+    Returns (x, z, y, pr, du)."""
+    B, m, n = A.shape
+    dtype = A.dtype
+    Bt = LANE_TILE
+    Bp = -(-B // Bt) * Bt
+
+    big = jnp.asarray(1e20, dtype)
+    l = jnp.clip(l, -big, big)
+    u = jnp.clip(u, -big, big)
+    l_orig = jnp.clip(l_orig, -big, big)
+    u_orig = jnp.clip(u_orig, -big, big)
+
+    def to_tile(arr, fill=None):
+        pad = [(0, Bp - B)] + [(0, 0)] * (arr.ndim - 1)
+        arr = jnp.pad(arr, pad)
+        if fill is not None and Bp != B:
+            arr = arr.at[B:].set(fill)
+        perm = tuple(range(1, arr.ndim)) + (0,)
+        return jnp.transpose(arr, perm)
+
+    grid = (Bp // Bt,)
+    mat_spec = lambda d0, d1: pl.BlockSpec(
+        (d0, d1, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+    )
+    vec_spec = lambda d0: pl.BlockSpec(
+        (d0, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
+    )
+    # c = -A K^{-1} g, one streamed matvec in XLA (keeps the loop kernel's
+    # resident set to P + vectors)
+    c = -jnp.einsum("bij,bj->bi", A, jnp.einsum("bij,bj->bi", Kinv, g))
+
+    loop_kernel = functools.partial(
+        _admm_zy_kernel, iters=iters, alpha=float(alpha)
+    )
+    zo, yo, Vo = pl.pallas_call(
+        loop_kernel,
+        grid=grid,
+        in_specs=[
+            mat_spec(m, m), vec_spec(m),
+            vec_spec(m), vec_spec(m), vec_spec(m),
+            vec_spec(m), vec_spec(m),
+        ],
+        out_specs=(vec_spec(m), vec_spec(m), vec_spec(m)),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((m, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(to_tile(P), to_tile(c), to_tile(l), to_tile(u),
+      to_tile(rho, fill=1.0), to_tile(z0), to_tile(y0))
+
+    epi_kernel = functools.partial(
+        _zy_epilogue_kernel, iters=iters, alpha=float(alpha)
+    )
+    xo, pr, du = pl.pallas_call(
+        epi_kernel,
+        grid=grid,
+        in_specs=[
+            mat_spec(n, n), vec_spec(n), mat_spec(m, n), vec_spec(n),
+            mat_spec(n, n),
+            vec_spec(n), vec_spec(m), vec_spec(m),
+            vec_spec(m), vec_spec(m), vec_spec(n), vec_spec(m),
+        ],
+        out_specs=(vec_spec(n), vec_spec(1), vec_spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
+        ),
+        interpret=interpret,
+    )(to_tile(Kinv), to_tile(Kg), to_tile(A), to_tile(g), to_tile(Hs),
+      to_tile(x0), Vo, yo,
+      to_tile(l_orig), to_tile(u_orig),
+      to_tile(d, fill=1.0), to_tile(e, fill=1.0))
+
+    back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
+    return (back(xo), back(zo), back(yo),
+            back(pr)[:, 0], back(du)[:, 0])
+
+
 @functools.partial(
     jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
 )

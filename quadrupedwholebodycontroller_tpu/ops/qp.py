@@ -395,14 +395,29 @@ def solve_batched(
 
     Kinv = make_inv(cache.kinv if cache is not None else None)(K)
 
-    def run_admm(x0, z0, y0, iters):
-        # iterations + the candidate's unscaled relative KKT residuals in
-        # one VMEM pass (ops/pallas/qp_kernel.admm_iterations_res)
-        return qp_kernel.admm_iterations_res(
-            Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
-            sdata.H, data.l, data.u, dscale, escale,
-            iters=iters, sigma=params.sigma, alpha=params.alpha,
-        )
+    if params.sigma == 0.0:
+        # constraint-space iteration (ops/pallas/qp_kernel
+        # ._admm_zy_res_kernel): with sigma = 0 the (z, y) recursion closes
+        # over P = A K^{-1} A^T — one 70-wide reduction per iteration
+        # instead of three chained ones, x recovered exactly at the end
+        P = sdata.A @ (Kinv @ jnp.swapaxes(sdata.A, -1, -2))  # (B, m, m)
+        Kg = jnp.einsum("bij,bj->bi", Kinv, sdata.g)
+
+        def run_admm(x0, z0, y0, iters):
+            return qp_kernel.admm_zy_iterations_res(
+                P, Kinv, Kg, sdata.A, sdata.g, sdata.l, sdata.u, rho,
+                x0, z0, y0, sdata.H, data.l, data.u, dscale, escale,
+                iters=iters, alpha=params.alpha,
+            )
+    else:
+        def run_admm(x0, z0, y0, iters):
+            # iterations + the candidate's unscaled relative KKT residuals in
+            # one VMEM pass (ops/pallas/qp_kernel.admm_iterations_res)
+            return qp_kernel.admm_iterations_res(
+                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
+                sdata.H, data.l, data.u, dscale, escale,
+                iters=iters, sigma=params.sigma, alpha=params.alpha,
+            )
 
     x, z, y, pr_b, du_b = run_admm(
         warm_s.x, warm_s.z, warm_s.y, params.iterations

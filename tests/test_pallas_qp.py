@@ -79,6 +79,104 @@ def test_kernel_matches_xla(rng):
     assert np.allclose(np.asarray(y_p), np.asarray(y_ref), atol=2e-2)
 
 
+def test_zy_kernel_matches_xla_sigma0(rng):
+    """The constraint-space (sigma = 0) kernel reproduces the x-space ADMM
+    recursion at sigma = 0 exactly (same iterates, x recovered from the
+    linear accumulator), including the residual epilogue."""
+    from quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel import (
+        admm_zy_iterations_res,
+    )
+
+    B, n, m = 4, 8, 12
+    data = make_batch(rng, B, n, m)
+    warm = qpm.QPState(
+        x=jnp.asarray(rng.normal(size=(B, n)) * 0.1, jnp.float32),
+        z=jnp.asarray(rng.normal(size=(B, m)) * 0.1, jnp.float32),
+        y=jnp.asarray(rng.normal(size=(B, m)) * 0.1, jnp.float32),
+    )
+    iters, alpha = 50, 1.6
+    rho_b = jax.vmap(lambda d: qpm._rho_vec(d, QPSolverParams()))(data)
+
+    x_ref, z_ref, y_ref = xla_admm(data, warm, iters, 0.0, alpha, rho_b)
+
+    K = jax.vmap(lambda d, r: d.H + (d.A.T * r) @ d.A)(data, rho_b)
+    Kinv = jnp.linalg.inv(K)
+    P = data.A @ (Kinv @ jnp.swapaxes(data.A, -1, -2))
+    Kg = jnp.einsum("bij,bj->bi", Kinv, data.g)
+    ones_n = jnp.ones((B, n), jnp.float32)
+    ones_m = jnp.ones((B, m), jnp.float32)
+    x_p, z_p, y_p, pr, du = admm_zy_iterations_res(
+        P, Kinv, Kg, data.A, data.g, data.l, data.u, rho_b,
+        warm.x, warm.z, warm.y, data.H, data.l, data.u, ones_n, ones_m,
+        iters=iters, alpha=alpha, interpret=True,
+    )
+    assert np.allclose(np.asarray(x_p), np.asarray(x_ref), atol=5e-3), (
+        np.abs(np.asarray(x_p) - np.asarray(x_ref)).max()
+    )
+    assert np.allclose(np.asarray(z_p), np.asarray(z_ref), atol=5e-3)
+    assert np.allclose(np.asarray(y_p), np.asarray(y_ref), atol=2e-2)
+    # epilogue matches the reference residual formula
+    for b in range(B):
+        d = jax.tree.map(lambda v: v[b], data)
+        pr_ref, du_ref = qpm.kkt_residual(d, x_p[b], y_p[b])
+        assert abs(float(pr[b]) - float(pr_ref)) < 5e-4
+        assert abs(float(du[b]) - float(du_ref)) < 5e-4
+
+
+def test_cached_batched_step_zy_interpret(rng):
+    """The full cached pallas step with sigma = 0 (the constraint-space
+    kernel path in solve_batched) stays KKT-clean over repeated cycles."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel as qk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel as pk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.prepare_kernel as prk
+    from quadrupedwholebodycontroller_tpu.config import ControllerParams
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
+
+    orig_zy = qk.admm_zy_iterations_res
+    orig_res = qk.admm_iterations_res
+    orig_p = pk.polish_solve
+    orig_r = prk.prepare_scaled
+    qk.admm_zy_iterations_res = functools.partial(orig_zy, interpret=True)
+    qk.admm_iterations_res = functools.partial(orig_res, interpret=True)
+    pk.polish_solve = functools.partial(orig_p, interpret=True)
+    prk.prepare_scaled = functools.partial(orig_r, interpret=True)
+    try:
+        dtype = jnp.float32
+        model = anymal_d_model(dtype=dtype)
+        cp = ControllerParams()
+        params = QPSolverParams(sigma=0.0)
+        B = 3
+        key = jax.random.PRNGKey(3)
+        obs = wbc.RobotObservation(
+            base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+            base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+            + 0.01 * jax.random.normal(key, (B, 3), dtype),
+            base_vel=jnp.zeros((B, 6), dtype),
+            q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
+            qd=jnp.zeros((B, 12), dtype),
+        )
+        ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype))
+        carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+        cache = qpm.QPCache.zeros(B, 42, 70, dtype)
+        valid = False
+        for _ in range(4):
+            out, carry, cache = wbc.wbc_step_batched(
+                model, cp, params, obs, ref, carry, True,
+                "pallas", cache, valid,
+            )
+            valid = True
+            assert float(jnp.max(out.qp_info.kkt_residual)) < 1e-3
+    finally:
+        qk.admm_zy_iterations_res = orig_zy
+        qk.admm_iterations_res = orig_res
+        pk.polish_solve = orig_p
+        prk.prepare_scaled = orig_r
+
+
 def test_kernel_convergence_on_wbc_sized_problem(rng):
     """42x70 problems (the WBC shape): kernel iterations reach a small KKT
 

@@ -58,6 +58,11 @@ CONFIGS = {
     # NS on the polish inverses (guarded by the refinement passes)
     "polish_warm1": QPSolverParams(ns_warm_iters=2, ns_warm_iters_polish=1),
     "kinv3_polish1": QPSolverParams(ns_warm_iters=3, ns_warm_iters_polish=1),
+    # constraint-space (z, y) ADMM kernel: sigma = 0 closes the iteration
+    # over P = A K^-1 A^T — one 70-wide reduction/iter instead of three
+    "sigma0": QPSolverParams(sigma=0.0),
+    "sigma0_iters60": QPSolverParams(sigma=0.0, iterations=60),
+    "sigma0_iters80": QPSolverParams(sigma=0.0, iterations=80),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
