@@ -106,6 +106,24 @@ def main():
 
     t_setup = timed("wbc_setup", setup_only, carry1)
 
+    # ---- 2b. fused Pallas setup kernel (the default on the pallas path) ----
+    t_setup_pl = 0.0
+    if backend == "pallas":
+        from quadrupedwholebodycontroller_tpu.ops.pallas import setup_kernel
+
+        @jax.jit
+        def setup_pallas_only(carry):
+            def body(c, _):
+                sk = setup_kernel.setup_batched(
+                    model, cp, obs, ref, c, jnp.ones((B,), bool)
+                )
+                c2 = c._replace(**sk["carry_updates"])
+                return c2, jnp.sum(sk["g"])
+            c2, s = jax.lax.scan(body, carry, None, length=SCAN)
+            return c2, s
+
+        t_setup_pl = timed("wbc_setup_pallas", setup_pallas_only, carry1)
+
     # fixed QP data for the solver-only blocks
     setup = jax.jit(
         lambda: jax.vmap(lambda o, r, c: wbc.wbc_setup(model, cp, o, r, c))(
@@ -204,6 +222,7 @@ def main():
         "B": B,
         "summary_ms": {
             "full": round(t_full, 2), "setup": round(t_setup, 2),
+            "setup_pallas": round(t_setup_pl, 2),
             "qp_warm": round(t_qp, 2), "qp_warm_nopolish": round(t_qp_np, 2),
             "qp_cold": round(t_qp_cold, 2),
             "admm": round(t_admm, 2), "ns70_warm": round(t_ns70w, 2),
