@@ -235,8 +235,11 @@ def _make_kernel(const, params):
         rcon = rcon_ref[:]        # (4, Bt) reference contacts
         prevc = prevc_ref[:]
         refnew = refnew_ref[0]    # (Bt,)
-        changed = jnp.max(jnp.abs(rcon - prevc), axis=0) > 0.0
-        switch = jnp.where(refnew > 0.5, changed, swflag_ref[0] > 0.5)
+        # keep masks as 0/1 floats: Mosaic cannot lower i1-typed vector
+        # VALUES (trunci i8->i1) — comparisons may only feed select
+        # predicates, never be stored/combined as data
+        changed_f = jnp.max(jnp.abs(rcon - prevc), axis=0)  # exact 0.0/1.0
+        switch_f = jnp.where(refnew > 0.5, changed_f, swflag_ref[0])
         contacts = jnp.where(refnew[None, :] > 0.5, rcon, prevc)
         c_leg = [contacts[i] for i in range(nl)]
 
@@ -575,8 +578,8 @@ def _make_kernel(const, params):
         T_top = jnp.concatenate([adjinv6, B_blk], axis=1)  # (6, 18, Bt)
 
         # ---- finite-difference derivatives (cpp:384-402) ----
-        deriv_ok = derivv_ref[0] > 0.5
-        gate = jnp.where(switch | ~deriv_ok, 0.0, 1.0)[None, None, :]
+        bad_f = switch_f + (1.0 - derivv_ref[0])  # >0.5 iff switch or !deriv_ok
+        gate = jnp.where(bad_f > 0.5, 0.0, 1.0)[None, None, :]
         inv_dt = 1.0 / dt
         Tdot_top = gate * (T_top - oldT_ref[:]) * inv_dt
         Jd_st = gate * (Jc_st - oldJst_ref[:]) * inv_dt
@@ -734,7 +737,7 @@ def _make_kernel(const, params):
         tdnew_ref[:] = tdnew_top
         intego_ref[:] = integ_new
         prevco_ref[:] = contacts
-        swo_ref[:] = jnp.where(switch, 1.0, 0.0)[None, :]
+        swo_ref[:] = switch_f[None, :]
 
     return kernel
 
