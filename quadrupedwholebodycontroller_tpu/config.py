@@ -89,7 +89,7 @@ class QPSolverParams:
     and more ADMM iterations were paying for.
     """
 
-    iterations: int = 50          # ADMM iterations per hot-started solve
+    iterations: int = 60          # ADMM iterations per hot-started solve
     cold_iterations: int = 200    # ADMM iterations when the warm start is
                                   # all-zero (the qpOASES init-vs-hotstart
                                   # asymmetry: nWSR=100 on init, cheap after
@@ -98,7 +98,13 @@ class QPSolverParams:
                                   # ~3x the hot-start iteration budget
     rho: float = 0.5              # base ADMM penalty (tuned on the WBC QP)
     rho_eq_scale: float = 1000.0  # penalty boost for equality rows
-    sigma: float = 1e-6
+    sigma: float = 0.0            # proximal weight; 0 selects the
+                                  # constraint-space (z,y) ADMM kernel —
+                                  # one (m,m) reduction/iter instead of three
+                                  # chained ones (ops/pallas/qp_kernel.py).
+                                  # On-chip (tools/tune_qp.py): same speed as
+                                  # sigma=1e-6 at iterations=60, ~45% better
+                                  # walking KKT (max 1.3e-3 vs 2.3e-3)
     alpha: float = 1.6            # over-relaxation
     scaling_iters: int = 4        # Ruiz equilibration sweeps (0 = off)
     ns_iters: int = 30            # Newton-Schulz iterations for matmul-only inverses

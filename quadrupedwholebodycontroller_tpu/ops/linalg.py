@@ -21,9 +21,17 @@ factorization; the refinement loops recover the remaining digits.  In f64
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# Hot-path matmul precision.  "highest" = 6-pass bf16 (full f32); "high" =
+# 3-pass bf16 (~f32 with a slightly larger rounding floor, ~half the MXU
+# cost).  Overridable for on-chip tuning experiments (tools/tune_qp.py);
+# the default stays "highest" unless measurement shows "high" holds the
+# walking-quality gate.
+_MATMUL_PRECISION = os.environ.get("QWBC_MATMUL_PRECISION", "highest")
 
 
 def full_precision(fn):
@@ -35,7 +43,7 @@ def full_precision(fn):
 
     @functools.wraps(fn)
     def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(_MATMUL_PRECISION):
             return fn(*args, **kwargs)
 
     return wrapped

@@ -243,9 +243,12 @@ def test_cached_batched_step_interpret(rng):
         carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
         cache = qpm.QPCache.zeros(B, 42, 70, dtype)
         valid = False
+        # sigma > 0 pins the x-space kernel path (the default sigma = 0
+        # selects the constraint-space kernel, covered by
+        # test_cached_batched_step_zy_interpret above)
         for _ in range(4):
             out, carry, cache = wbc.wbc_step_batched(
-                model, cp, QPSolverParams(), obs, ref, carry, True,
+                model, cp, QPSolverParams(sigma=1e-6), obs, ref, carry, True,
                 "pallas", cache, valid,
             )
             valid = True
