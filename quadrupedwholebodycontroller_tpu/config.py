@@ -108,16 +108,20 @@ class QPSolverParams:
     alpha: float = 1.6            # over-relaxation
     scaling_iters: int = 4        # Ruiz equilibration sweeps (0 = off)
     ns_iters: int = 30            # Newton-Schulz iterations for matmul-only inverses
-    ns_warm_iters: int = 3        # NS iterations when restarting from a carried cache
-    ns_warm_iters_polish: int = 1  # same, for the polish Schur inverse only;
+    ns_warm_iters: int = 2        # NS iterations when restarting from a carried cache
+    ns_warm_iters_polish: int = 0  # same, for the polish Schur inverse only;
                                   # -1 = use ns_warm_iters.  The polish
                                   # kernel's refinement passes recompute true
-                                  # KKT residuals, so its inverses tolerate a
-                                  # cruder warm update than the ADMM K^-1
-                                  # (whose error shifts the iterate unguarded):
-                                  # on-chip tuning (tools/tune_qp.py) shows
-                                  # 3/1 is ~5% faster than 2/2 at equal
-                                  # walking quality
+                                  # KKT residuals, so its inverse tolerates
+                                  # an UN-updated carried warm start (0 NS
+                                  # iterations — the safeguarded cache is
+                                  # used as-is as the preconditioner) while
+                                  # the ADMM K^-1 (whose error shifts the
+                                  # iterate unguarded) gets 2: on-chip
+                                  # tuning (tools/tune_qp.py round 4) shows
+                                  # 2/0 is ~14% faster than 3/1 at equal
+                                  # walking quality (max KKT 1.6e-3 vs
+                                  # 1.3e-3, mean 1.9e-4, 0 fallen)
     polish: bool = True           # active-set KKT polish after ADMM
     polish_rounds: int = 2        # iterated active-set refinement rounds
     polish_reg: float = 1e-9

@@ -60,9 +60,18 @@ CONFIGS = {
     "kinv3_polish1": QPSolverParams(ns_warm_iters=3, ns_warm_iters_polish=1),
     # constraint-space (z, y) ADMM kernel: sigma = 0 closes the iteration
     # over P = A K^-1 A^T — one 70-wide reduction/iter instead of three
-    "sigma0": QPSolverParams(sigma=0.0),
-    "sigma0_iters60": QPSolverParams(sigma=0.0, iterations=60),
+    # (sigma=0, iterations=60 became the default after the round-4 tuning)
+    "sigma0": QPSolverParams(sigma=0.0, iterations=50),
     "sigma0_iters80": QPSolverParams(sigma=0.0, iterations=80),
+    # legacy x-space proximal path (the pre-round-4 default)
+    "sigma_prox": QPSolverParams(sigma=1e-6, iterations=50),
+    # NS-budget trims under the sigma0 defaults: each warm NS iteration is
+    # ~2 HBM-streamed (B,70,70)/(B,42,42) matmuls, the largest remaining
+    # XLA blocks (tools/profile_breakdown.py round 4)
+    "kinv2": QPSolverParams(ns_warm_iters=2),
+    "polish0": QPSolverParams(ns_warm_iters_polish=0),
+    "kinv2_polish0": QPSolverParams(ns_warm_iters=2, ns_warm_iters_polish=0),
+    "iters50": QPSolverParams(iterations=50),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
