@@ -432,12 +432,18 @@ def wbc_step_batched(
             if qp_backend == "pallas" and not params.exact_derivatives
             else "xla"
         )
+    prepared = None
     if setup_backend == "pallas":
         from quadrupedwholebodycontroller_tpu.ops.pallas import setup_kernel
 
+        # on the pallas QP path the prepare stage (Ruiz + scaling) fuses
+        # into the same kernel launch (carry.qp_warm is scaled in-kernel,
+        # switch-masked exactly like _switch_masked_warm below)
         sk = setup_kernel.setup_batched(
-            model, params, obs, ref, carry, ref_is_new_b
+            model, params, obs, ref, carry, ref_is_new_b,
+            qp_params=qp_params if qp_backend == "pallas" else None,
         )
+        prepared = sk["prepared"]
         setup = WBCSetup(
             qp_data=qp.QPData(
                 H=sk["H"], g=sk["g"], A=sk["A"], l=sk["l"], u=sk["u"]
@@ -462,11 +468,13 @@ def wbc_step_batched(
         qp_state, qp_info, new_cache = qp.solve_batched(
             setup.qp_data, warm, qp_params, qp_backend,
             cache=qp_cache, use_warm=use_warm, hinv_fn=hinv_fn,
+            prepared=prepared,
         )
         out, new_carry = jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
         return out, new_carry, new_cache
     qp_state, qp_info = qp.solve_batched(
-        setup.qp_data, warm, qp_params, qp_backend, hinv_fn=hinv_fn
+        setup.qp_data, warm, qp_params, qp_backend, hinv_fn=hinv_fn,
+        prepared=prepared,
     )
     return jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
 

@@ -163,11 +163,15 @@ def _topology(parent):
 
 
 # ---------------------------------------------------------------- kernel
-def _make_kernel(const, params):
+def _make_kernel(const, params, qp_params=None):
     """Build the kernel closure over static model constants.
 
     const: dict of numpy arrays/tuples (see setup_batched); params: the
-    ControllerParams (hashable dataclass; only floats are read)."""
+    ControllerParams (hashable dataclass; only floats are read).
+    qp_params (optional QPSolverParams): fuse the QP prepare stage (Ruiz
+    equilibration + problem/warm scaling + rho, ops/pallas/
+    prepare_kernel.py) into the same launch — the warm start (wx, wz, wy)
+    joins the inputs and the scaled problem joins the outputs."""
     parent = const["parent"]
     anc = _topology(parent)
     nb = len(parent)
@@ -653,13 +657,15 @@ def _make_kernel(const, params):
         # ---- QP assembly (cpp:466-515) ----
         Jst_com = Jc_st[:, 0:6]                       # (12, 6, Bt)
         Jst_j = Jc_st[:, 6:18]
-        Hblk_ref[:] = jnp.stack(
+        Hblk_v = jnp.stack(
             [_mv(Jst_com, Jst_com[j]) for j in range(12)], axis=1
         )
+        Hblk_ref[:] = Hblk_v
         g_blk = -_mv(Jst_com, w_des)
-        g_ref[:] = jnp.concatenate(
+        g_v = jnp.concatenate(
             [_zeros((18,), p0), g_blk, _zeros((12,), p0)], axis=0
         )
+        g_ref[:] = g_v
 
         neg_JstcomT = jnp.stack(
             [-Jst_com[:, i] for i in range(6)], axis=0
@@ -706,7 +712,8 @@ def _make_kernel(const, params):
         eye12 = jnp.where(i0 == i1, 1.0, 0.0).astype(p0.dtype)
         rb5 = jnp.concatenate([Jc_sw, _zeros((12, 12), p0), -eye12], axis=1)
         rb6 = jnp.concatenate([Jc_sw, _zeros((12, 12), p0), eye12], axis=1)
-        A_ref[:] = jnp.concatenate([rb1, rb2, rb3, rb4, rb5, rb6], axis=0)
+        A_v = jnp.concatenate([rb1, rb2, rb3, rb4, rb5, rb6], axis=0)
+        A_ref[:] = A_v
 
         vel_c = jnp.concatenate([com_vel6, qd], axis=0)
         stance_rhs = -_mv(Jd_st, vel_c)
@@ -719,15 +726,17 @@ def _make_kernel(const, params):
         inf_16 = jnp.broadcast_to(
             jnp.full_like(zc, inf)[None, :], (16, zc.shape[-1])
         )
-        ub_ref[:] = jnp.concatenate(
+        ub_v = jnp.concatenate(
             [-gravw, stance_rhs, _zeros((16,), p0), tau_hi, swing_rhs,
              inf_12],
             axis=0,
         )
-        lb_ref[:] = jnp.concatenate(
+        ub_ref[:] = ub_v
+        lb_v = jnp.concatenate(
             [-gravw, stance_rhs, -inf_16, tau_lo, -inf_12, swing_rhs],
             axis=0,
         )
+        lb_ref[:] = lb_v
 
         # ---- aux outputs / carry updates ----
         hc_ref[:] = h_c
@@ -738,18 +747,108 @@ def _make_kernel(const, params):
         intego_ref[:] = integ_new
         prevco_ref[:] = contacts
         swo_ref[:] = switch_f[None, :]
+        # locals for the optional fused-prepare epilogue
+        return dict(A=A_v, g=g_v, lb=lb_v, ub=ub_v, Hblk=Hblk_v,
+                    switch_f=switch_f)
 
-    return kernel
+    if qp_params is None:
+        def plain(*refs):
+            kernel(*refs)
+
+        return plain
+
+    sw_weight = float(params.slack_weight)
+    sweeps = int(qp_params.scaling_iters)
+    rho0 = float(qp_params.rho)
+    rho_eq = float(qp_params.rho) * float(qp_params.rho_eq_scale)
+
+    def fused(*refs):
+        """kernel inputs + (wx, wz, wy), then kernel outputs +
+        (sH, sA, sg, sl, su, rho, wxs, wzs, wys, d, e)."""
+        core_in = refs[:23]
+        wx_ref, wz_ref, wy_ref = refs[23:26]
+        core_out = refs[26:39]
+        (sH_ref, sA_ref, sg_ref, sl_ref, su_ref, rho_ref,
+         wxs_ref, wzs_ref, wys_ref, d_ref, e_ref) = refs[39:]
+        vals = kernel(*core_in, *core_out)
+        A = vals["A"]                # (m, n, Bt)
+        g = vals["g"]
+        lb = vals["lb"]
+        ub = vals["ub"]
+        Hblk = vals["Hblk"]          # (12, 12, Bt)
+        Bt_ = A.shape[-1]
+        dtype = A.dtype
+
+        def eye(k):
+            i0 = jax.lax.broadcasted_iota(jnp.int32, (k, k, Bt_), 0)
+            i1 = jax.lax.broadcasted_iota(jnp.int32, (k, k, Bt_), 1)
+            return jnp.where(i0 == i1, 1.0, 0.0).astype(dtype)
+
+        z = lambda r, c: jnp.zeros((r, c, Bt_), dtype)
+        # H = diag(R) + pad(Hblk): identity vars, GRF block + I, slack diag
+        # (the same assembly the wrapper does in XLA for the unscaled H)
+        H = jnp.concatenate(
+            [
+                jnp.concatenate([eye(18), z(18, 24)], axis=1),
+                jnp.concatenate([z(12, 18), Hblk + eye(12), z(12, 12)],
+                                axis=1),
+                jnp.concatenate([z(12, 30), sw_weight * eye(12)], axis=1),
+            ],
+            axis=0,
+        )                            # (n, n, Bt)
+
+        # Ruiz equilibration — identical op order to
+        # ops/pallas/prepare_kernel._prepare_kernel
+        absH = jnp.abs(H)
+        absA = jnp.abs(A)
+        d = jnp.ones_like(H[0])      # (n, Bt)
+        e = jnp.ones_like(A[:, 0])   # (m, Bt)
+
+        def sweep(_, de):
+            d, e = de
+            Hs = absH * d[None, :, :] * d[:, None, :]
+            As = absA * e[:, None, :] * d[None, :, :]
+            cx = jnp.maximum(jnp.max(Hs, axis=0), jnp.max(As, axis=0))
+            rz = jnp.max(As, axis=1)
+            d = d * jax.lax.rsqrt(jnp.maximum(cx, 1e-8))
+            e = e * jax.lax.rsqrt(jnp.maximum(rz, 1e-8))
+            return d, e
+
+        d, e = jax.lax.fori_loop(0, sweeps, sweep, (d, e), unroll=True)
+
+        sH_ref[:] = H * d[None, :, :] * d[:, None, :]
+        sA_ref[:] = A * e[:, None, :] * d[None, :, :]
+        sg_ref[:] = d * g
+        sl_ref[:] = e * lb
+        su_ref[:] = e * ub
+        # equality detection on the UNSCALED bounds (prepare_kernel.py:59-62)
+        eq = (ub - lb) <= 1e-9
+        rho_ref[:] = jnp.where(eq, rho_eq, rho0).astype(dtype)
+        # contact-switch warm masking (control/wbc._switch_masked_warm):
+        # keep the primal, drop z/y whose rows were re-masked
+        keep = (1.0 - vals["switch_f"])[None, :]
+        wxs_ref[:] = wx_ref[:] / d
+        wzs_ref[:] = wz_ref[:] * keep * e
+        wys_ref[:] = wy_ref[:] * keep / e
+        d_ref[:] = d
+        e_ref[:] = e
+
+    return fused
 
 
 @functools.partial(
-    jax.jit, static_argnames=("const_arrays", "params", "interpret")
+    jax.jit,
+    static_argnames=("const_arrays", "params", "qp_params", "interpret"),
 )
 def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
                 rpose, rvel, racc, spos, svel, sacc, rcon,
                 oldT_top, oldJst, oldJsw, tdinv_top, integ, prevc,
-                swflag, derivv, refnew, *, interpret=False):
-    """Batch-major pallas wrapper (const_arrays: hashable tuple-of-tuples)."""
+                swflag, derivv, refnew, wx=None, wz=None, wy=None,
+                *, qp_params=None, interpret=False):
+    """Batch-major pallas wrapper (const_arrays: hashable tuple-of-tuples).
+
+    With qp_params (and warm wx/wz/wy), the fused-prepare kernel variant
+    additionally returns the Ruiz-scaled problem."""
     const = _unpack_const(const_arrays)
     B = p0.shape[0]
     dtype = p0.dtype
@@ -767,37 +866,48 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
     vec = lambda d0: pl.BlockSpec((d0, Bt), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(const, params)
+    kernel = _make_kernel(const, params, qp_params)
     n, m = QP_NUM_VARS, QP_NUM_CONSTRAINTS
     sds = lambda *shape: jax.ShapeDtypeStruct(shape + (Bp,), dtype)
-    outs = pl.pallas_call(
-        kernel,
-        grid=(Bp // Bt,),
-        in_specs=[
-            mat(3, 3), vec(3), vec(6), vec(12), vec(12), vec(12), vec(3),
-            vec(6), vec(6), vec(6), vec(12), vec(12), vec(12), vec(4),
-            mat(6, NV), mat(12, NV), mat(12, NV), mat(6, NV), vec(6),
-            vec(4), vec(1), vec(1), vec(1),
-        ],
-        out_specs=(
-            mat(m, n), vec(n), vec(m), vec(m), mat(12, 12), vec(NV),
-            vec(3), vec(12), mat(6, NV), mat(6, NV), vec(6), vec(4),
-            vec(1),
-        ),
-        out_shape=(
-            sds(m, n), sds(n), sds(m), sds(m), sds(12, 12), sds(NV),
-            sds(3), sds(12), sds(6, NV), sds(6, NV), sds(6), sds(4),
-            sds(1),
-        ),
-        interpret=interpret,
-    )(
+    in_specs = [
+        mat(3, 3), vec(3), vec(6), vec(12), vec(12), vec(12), vec(3),
+        vec(6), vec(6), vec(6), vec(12), vec(12), vec(12), vec(4),
+        mat(6, NV), mat(12, NV), mat(12, NV), mat(6, NV), vec(6),
+        vec(4), vec(1), vec(1), vec(1),
+    ]
+    out_specs = [
+        mat(m, n), vec(n), vec(m), vec(m), mat(12, 12), vec(NV),
+        vec(3), vec(12), mat(6, NV), mat(6, NV), vec(6), vec(4),
+        vec(1),
+    ]
+    out_shape = [
+        sds(m, n), sds(n), sds(m), sds(m), sds(12, 12), sds(NV),
+        sds(3), sds(12), sds(6, NV), sds(6, NV), sds(6), sds(4),
+        sds(1),
+    ]
+    args = [
         to_tile(R0), to_tile(p0), to_tile(bv), to_tile(qd), to_tile(sq),
         to_tile(cq), to_tile(rpy), to_tile(rpose), to_tile(rvel),
         to_tile(racc), to_tile(spos), to_tile(svel), to_tile(sacc),
         to_tile(rcon), to_tile(oldT_top), to_tile(oldJst), to_tile(oldJsw),
         to_tile(tdinv_top), to_tile(integ), to_tile(prevc), to_tile(swflag),
         to_tile(derivv), to_tile(refnew),
-    )
+    ]
+    if qp_params is not None:
+        in_specs += [vec(n), vec(m), vec(m)]
+        args += [to_tile(wx), to_tile(wz), to_tile(wy)]
+        out_specs += [mat(n, n), mat(m, n), vec(n), vec(m), vec(m),
+                      vec(m), vec(n), vec(m), vec(m), vec(n), vec(m)]
+        out_shape += [sds(n, n), sds(m, n), sds(n), sds(m), sds(m),
+                      sds(m), sds(n), sds(m), sds(m), sds(n), sds(m)]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(Bp // Bt,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
 
     def back(a):
         perm = (a.ndim - 1,) + tuple(range(a.ndim - 1))
@@ -839,13 +949,19 @@ def _unpack_const(packed):
 
 
 def setup_batched(model, params, obs, ref, carry, ref_is_new,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, qp_params=None):
     """Fused-kernel replacement for vmap(wbc_setup) (batch-major API).
 
     Returns the same pieces as control/wbc.WBCSetup, as a dict:
     qp H/g/A/l/u plus h_c, Mc_jj, Jc_st_j, com, current_pose, foot_pos and
     the carry_updates dict.  Only the reference-faithful finite-difference
-    path (params.exact_derivatives == False) is supported."""
+    path (params.exact_derivatives == False) is supported.
+
+    With qp_params (QPSolverParams), the QP prepare stage (Ruiz + scaling,
+    ops/pallas/prepare_kernel.py) runs inside the SAME kernel launch using
+    carry.qp_warm (with the in-kernel contact-switch masking of
+    control/wbc._switch_masked_warm); the result dict gains a "prepared"
+    tuple for ops/qp.solve_batched(prepared=...)."""
     from quadrupedwholebodycontroller_tpu.ops import spatial
 
     if params.exact_derivatives:
@@ -863,6 +979,9 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
     cq = jnp.cos(obs.q)
     rpy = spatial.matrix_to_rpy(obs.base_R)
 
+    warm_args = ()
+    if qp_params is not None:
+        warm_args = (carry.qp_warm.x, carry.qp_warm.z, carry.qp_warm.y)
     outs = _setup_call(
         packed, params,
         obs.base_R, obs.base_p, obs.base_vel, obs.qd, sq, cq, rpy,
@@ -875,8 +994,14 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
         carry.switch_flag.astype(dtype)[:, None],
         carry.deriv_valid.astype(dtype)[:, None],
         ref_is_new_b[:, None],
+        *warm_args,
+        qp_params=qp_params,
         interpret=interpret,
     )
+    prepared = None
+    if qp_params is not None:
+        outs, prep = outs[:13], outs[13:]
+        prepared = tuple(prep)
     (A, g, lb, ub, Hblk, h_c, com, foot_pos, T_top, tdnew_top, integ_new,
      prevc_new, sw) = outs
 
@@ -896,7 +1021,7 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
     )
     rpy_pose = jnp.concatenate([com, rpy], axis=-1)
     return dict(
-        H=H, g=g, A=A, l=lb, u=ub,
+        H=H, g=g, A=A, l=lb, u=ub, prepared=prepared,
         h_c=h_c,
         Mc_jj=A[:, 34:46, 6:18],
         Jc_st_j=A[:, 6:18, 6:18],

@@ -317,6 +317,7 @@ def solve_batched(
     cache: "QPCache | None" = None,
     use_warm=None,
     hinv_fn=None,
+    prepared=None,
 ):
     """Batched solve over a leading batch axis on every leaf.
 
@@ -336,7 +337,14 @@ def solve_batched(
     producing the inverse of the regularized polish Hessian directly —
     callers that know the problem's block structure (the WBC QP's H is
     block-diagonal) supply an exact closed form and skip the carried-NS
-    update entirely."""
+    update entirely.
+
+    prepared (pallas backend): optional (sH, sA, sg, sl, su, rho, wxs, wzs,
+    wys, d, e) tuple from a caller that already ran the prepare stage —
+    e.g. the fused setup kernel (ops/pallas/setup_kernel.setup_batched with
+    qp_params) — skipping the standalone prepare kernel launch.  Note the
+    warm scaling in `prepared` must already include any switch masking;
+    `warm` is still used for the unscaled cold-start detection."""
     if backend == "xla":
         out = jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
         if cache is not None:
@@ -353,15 +361,19 @@ def solve_batched(
     from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
     from quadrupedwholebodycontroller_tpu.ops.pallas import prepare_kernel
 
-    # Ruiz + scaling in one VMEM pass (ops/pallas/prepare_kernel.py); the
-    # K matmul stays in XLA (MXU)
-    sH, sA, sg, sl, su, rho, wxs, wzs, wys, dscale, escale = (
-        prepare_kernel.prepare_scaled(
-            data.H, data.A, data.g, data.l, data.u, warm.x, warm.z, warm.y,
-            sweeps=params.scaling_iters, rho0=params.rho,
-            rho_eq_scale=params.rho_eq_scale,
+    # Ruiz + scaling in one VMEM pass (ops/pallas/prepare_kernel.py, or
+    # already fused into the setup kernel); the K matmul stays in XLA (MXU)
+    if prepared is not None:
+        sH, sA, sg, sl, su, rho, wxs, wzs, wys, dscale, escale = prepared
+    else:
+        sH, sA, sg, sl, su, rho, wxs, wzs, wys, dscale, escale = (
+            prepare_kernel.prepare_scaled(
+                data.H, data.A, data.g, data.l, data.u,
+                warm.x, warm.z, warm.y,
+                sweeps=params.scaling_iters, rho0=params.rho,
+                rho_eq_scale=params.rho_eq_scale,
+            )
         )
-    )
     sdata = QPData(H=sH, g=sg, A=sA, l=sl, u=su)
     warm_s = QPState(x=wxs, z=wzs, y=wys)
     K = (

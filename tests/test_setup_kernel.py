@@ -126,6 +126,64 @@ def test_setup_kernel_matches_xla_f32():
     _check(out_k, setup_x, 2e-4)
 
 
+def test_setup_kernel_fused_prepare_f64():
+    """The fused-prepare epilogue (qp_params) matches the standalone
+    prepare kernel applied to the plain setup outputs, including the
+    in-kernel switch masking of the warm start."""
+    import functools
+
+    from quadrupedwholebodycontroller_tpu.config import QPSolverParams
+    from quadrupedwholebodycontroller_tpu.ops import qp as qpm
+    from quadrupedwholebodycontroller_tpu.ops.pallas import prepare_kernel
+
+    dtype = jnp.float64
+    cp, obs, ref, carry = _batch(dtype)
+    model = anymal_d_model(dtype=dtype)
+    B = obs.q.shape[0]
+    rn = jnp.ones((B,), bool)
+    qp_params = QPSolverParams()
+    # advance one step, give the carry a nonzero warm start, and force a
+    # contact switch in scenario 0 so the warm masking path is exercised
+    setup_x = jax.vmap(
+        lambda o, r, c, n: wbc.wbc_setup(model, cp, o, r, c, n)
+    )(obs, ref, carry, rn)
+    carry = carry._replace(**setup_x.carry_updates)
+    key = jax.random.PRNGKey(11)
+    carry = carry._replace(
+        qp_warm=qpm.QPState(
+            x=jax.random.normal(key, (B, 42), dtype),
+            z=jax.random.normal(jax.random.fold_in(key, 1), (B, 70), dtype),
+            y=jax.random.normal(jax.random.fold_in(key, 2), (B, 70), dtype),
+        )
+    )
+    ref2 = ref._replace(contacts=ref.contacts.at[0, 0].set(0.0))
+
+    out_k = setup_kernel.setup_batched(
+        model, cp, obs, ref2, carry, rn, interpret=True, qp_params=qp_params
+    )
+    assert out_k["prepared"] is not None
+
+    setup_x2 = jax.vmap(
+        lambda o, r, c, n: wbc.wbc_setup(model, cp, o, r, c, n)
+    )(obs, ref2, carry, rn)
+    switch = setup_x2.carry_updates["switch_flag"]
+    warm = jax.vmap(wbc._switch_masked_warm)(carry, switch)
+    want = functools.partial(prepare_kernel.prepare_scaled, interpret=True)(
+        setup_x2.qp_data.H, setup_x2.qp_data.A, setup_x2.qp_data.g,
+        setup_x2.qp_data.l, setup_x2.qp_data.u, warm.x, warm.z, warm.y,
+        sweeps=qp_params.scaling_iters, rho0=qp_params.rho,
+        rho_eq_scale=qp_params.rho_eq_scale,
+    )
+    names = ["sH", "sA", "sg", "sl", "su", "rho", "wxs", "wzs", "wys",
+             "d", "e"]
+    for name, got, ref_v in zip(names, out_k["prepared"], want):
+        a = np.asarray(got, np.float64)
+        b = np.asarray(ref_v, np.float64)
+        scale = max(1.0, np.abs(b).max())
+        err = np.abs(a - b).max() / scale
+        assert err < 1e-9, (name, err)
+
+
 def test_setup_kernel_switch_path_f64():
     """Contact switch between steps zeroes the FD derivatives batch-wide."""
     dtype = jnp.float64
