@@ -347,3 +347,31 @@ def test_prepare_kernel_matches_xla(rng):
         (dd, d_x, "d"), (ee, e_x, "e"),
     ]:
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-6), name
+
+
+def test_ns_warm_kernel_matches_xla(rng):
+    """Batch-minor warm-NS kernel (ops/pallas/ns_kernel.py) == the XLA
+    warm path of ops/linalg.ns_inverse, including the poisoned-warm and
+    divergent-warm per-matrix fallbacks (f64 interpret mode)."""
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+    from quadrupedwholebodycontroller_tpu.ops.pallas.ns_kernel import (
+        ns_inverse_warm_pallas,
+    )
+
+    for n in (42, 70):
+        B = 150  # non-multiple of the tile: exercises identity padding
+        M = rng.normal(size=(B, n, 42)).astype(np.float64)
+        A = jnp.asarray(
+            M @ np.swapaxes(M, 1, 2) + 0.5 * np.eye(n), jnp.float64
+        )
+        w = ns_inverse(A, 30)
+        A2 = A * (
+            1.0
+            + 0.001 * jnp.asarray(rng.normal(size=(B, 1, 1)), jnp.float64)
+        )
+        # poison two warm entries: NaN and a wild divergence (err >= 1e3)
+        w = w.at[3].set(jnp.nan).at[7].set(w[7] * 1e9)
+        want = ns_inverse(A2, 30, warm=w, warm_iters=2)
+        got = ns_inverse_warm_pallas(A2, w, warm_iters=2, interpret=True)
+        err = float(jnp.max(jnp.abs(got - want)))
+        assert err < 1e-12, (n, err)
