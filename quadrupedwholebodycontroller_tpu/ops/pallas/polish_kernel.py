@@ -101,27 +101,36 @@ def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
     du_ref[:] = du[None, :]
 
 
-@functools.partial(jax.jit, static_argnames=("refine", "reg", "interpret"))
-def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
-                 *, refine: int, reg: float, interpret: bool = False):
-    """Batch-major wrapper: inputs (B, ...) -> (x, y, z, pr, du) batch-major.
+def _to_tile(arr, Bsz, Bp):
+    pad = [(0, Bp - Bsz)] + [(0, 0)] * (arr.ndim - 1)
+    arr = jnp.pad(arr, pad)
+    perm = tuple(range(1, arr.ndim)) + (0,)
+    return jnp.transpose(arr, perm)
 
-    H is the REGULARIZED polish Hessian (H + reg I); da the active-row mask;
-    Sinv the (approximate) inverse of the polish Schur complement."""
-    Bsz, m, n = A.shape
-    dtype = A.dtype
-    Bt = LANE_TILE
-    Bp = -(-Bsz // Bt) * Bt
 
-    big = jnp.asarray(1e20, dtype)
+def polish_tiles(H, Hinv, A, g, l, u):
+    """Pre-tile the polish-round-INVARIANT kernel inputs (batch-minor).
+
+    The iterated active-set polish (ops/qp.solve_batched) calls
+    polish_solve once per round, but only (Sinv, da, b) change between
+    rounds; tiling (H, Hinv, A, g, l, u) once per solve saves one
+    HBM round trip per (B, 70, 42)-class array per extra round."""
+    Bsz = A.shape[0]
+    Bp = -(-Bsz // LANE_TILE) * LANE_TILE
+    big = jnp.asarray(1e20, l.dtype)
     l = jnp.clip(l, -big, big)
     u = jnp.clip(u, -big, big)
+    t = lambda a: _to_tile(a, Bsz, Bp)
+    return dict(H=t(H), Hinv=t(Hinv), A=t(A), g=t(g), l=t(l), u=t(u),
+                Bsz=Bsz, Bp=Bp)
 
-    def to_tile(arr):
-        pad = [(0, Bp - Bsz)] + [(0, 0)] * (arr.ndim - 1)
-        arr = jnp.pad(arr, pad)
-        perm = tuple(range(1, arr.ndim)) + (0,)
-        return jnp.transpose(arr, perm)
+
+def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
+    n = tiles["H"].shape[0]
+    m = tiles["A"].shape[0]
+    dtype = tiles["A"].dtype
+    Bp = tiles["Bp"]
+    Bt = LANE_TILE
 
     mat = lambda d0, d1: pl.BlockSpec((d0, d1, Bt), lambda i: (0, 0, i),
                                       memory_space=pltpu.VMEM)
@@ -129,7 +138,7 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
                                   memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_polish_kernel, refine=refine, reg=float(reg))
-    x, y, z, pr, du = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(Bp // Bt,),
         in_specs=[
@@ -146,8 +155,28 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
         ),
         interpret=interpret,
     )(
-        to_tile(H), to_tile(Hinv), to_tile(Sinv), to_tile(A),
-        to_tile(da), to_tile(g), to_tile(b), to_tile(l), to_tile(u),
+        tiles["H"], tiles["Hinv"], Sinv_t, tiles["A"],
+        da_t, tiles["g"], b_t, tiles["l"], tiles["u"],
+    )
+
+
+def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
+                 *, refine: int, reg: float, interpret: bool = False,
+                 tiles=None):
+    """Batch-major wrapper: inputs (B, ...) -> (x, y, z, pr, du) batch-major.
+
+    H is the REGULARIZED polish Hessian (H + reg I); da the active-row mask;
+    Sinv the (approximate) inverse of the polish Schur complement.
+
+    tiles: optional pre-tiled invariants from polish_tiles (then H, Hinv,
+    A, g, l, u may be None)."""
+    if tiles is None:
+        tiles = polish_tiles(H, Hinv, A, g, l, u)
+    Bsz, Bp = tiles["Bsz"], tiles["Bp"]
+    t = lambda a: _to_tile(a, Bsz, Bp)
+    x, y, z, pr, du = _polish_call(
+        tiles, t(Sinv), t(da), t(b),
+        refine=refine, reg=reg, interpret=interpret,
     )
     back = lambda a: jnp.transpose(a, (1, 0))[:Bsz]
     return back(x), back(y), back(z), back(pr)[:, 0], back(du)[:, 0]

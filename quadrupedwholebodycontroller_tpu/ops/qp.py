@@ -464,16 +464,52 @@ def solve_batched(
             )(H_reg)
     else:
         Hinv_polish = None
-    sinv_fn = (
-        make_inv(cache.sinv if cache is not None else None, wi=wi_polish)
-        if params.polish
-        else None
-    )
+    # sinv_fn takes a THUNK that builds the polish Schur matrix, so the
+    # warm fast path below never materializes it
+    if not params.polish:
+        sinv_fn = None
+    elif wi_polish == 0 and cache is not None and use_warm is not None:
+        # 0 warm NS iterations make the warm branch a pass-through of the
+        # carried inverse; a stale-but-finite cache is caught downstream by
+        # the polish ACCEPTANCE residuals (res_p <= res_b), so the
+        # ||I - S W|| check matmul AND the Schur assembly (G2 matmuls +
+        # masking) are skipped entirely on warm steps — they trace into the
+        # cold cond branch only
+        def sinv_fn(S_thunk):
+            return jax.lax.cond(
+                use_warm,
+                lambda: cache.sinv,
+                lambda: ns_inverse(S_thunk(), params.ns_iters),
+            )
+    else:
+        _mk_sinv = make_inv(
+            cache.sinv if cache is not None else None, wi=wi_polish
+        )
+
+        def sinv_fn(S_thunk):
+            return _mk_sinv(S_thunk())
 
     def residuals(d, s):
         pr, du = kkt_residual(d, s.x, s.y)
         tot = jnp.maximum(pr, du)
         return pr, du, jnp.where(jnp.isfinite(tot), tot, jnp.inf)
+
+    # polish-round invariants, computed once per solve: the Schur matmuls
+    # A Hinv Aᵀ (the da mask applies elementwise per round — bitwise equal,
+    # see _polish_batched_kernel) and the batch-minor kernel input tiles.
+    # On the wi_polish == 0 fast path G2 stays None: the Schur assembly is
+    # only traced inside sinv_fn's cold cond branch.
+    G2_pol = tiles_pol = None
+    if cache is not None and params.polish:
+        from quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel import (
+            polish_tiles,
+        )
+
+        if not (wi_polish == 0 and use_warm is not None):
+            G2_pol = data.A @ Hinv_polish @ jnp.swapaxes(data.A, -1, -2)
+        tiles_pol = polish_tiles(
+            H_reg, Hinv_polish, data.A, data.g, data.l, data.u
+        )
 
     best = admm
     # pr_b/du_b came from the kernel epilogue (same formula as residuals())
@@ -488,7 +524,7 @@ def solve_batched(
             if round_i == 0:
                 pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
                     data, best, params, H_reg, Hinv_polish, sinv_fn,
-                    da_b=(da, b),
+                    da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                 )
             else:
                 # chain: round k warms from round k-1's inverse of THIS
@@ -497,10 +533,17 @@ def solve_batched(
                 # steps since it never crosses a contact switch
                 sinv_prev = sinv_last
 
-                def sinv_fn(M, w=sinv_prev):
-                    return ns_inverse(
-                        M, params.ns_iters, warm=w, warm_iters=wi_polish,
-                    )
+                if wi_polish == 0:
+                    # pass-through (see the warm fast path above); round 1
+                    # already guaranteed sinv_prev finite
+                    def sinv_fn(S_thunk, w=sinv_prev):
+                        return w
+                else:
+                    def sinv_fn(S_thunk, w=sinv_prev):
+                        return ns_inverse(
+                            S_thunk(), params.ns_iters,
+                            warm=w, warm_iters=wi_polish,
+                        )
 
                 # if the active-set estimate AND active bounds are unchanged
                 # after the previous round, this round's KKT system is
@@ -514,7 +557,7 @@ def solve_batched(
                     changed,
                     lambda: _polish_batched_kernel(
                         data, best, params, H_reg, Hinv_polish, sinv_fn,
-                        da_b=(da, b),
+                        da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                     ),
                     lambda: (best, sinv_prev, inf_r, inf_r),
                 )
@@ -595,13 +638,24 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
 
 
 def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
-                           da_b=None):
+                           da_b=None, G2=None, tiles=None):
     """Pallas-kernel polish: XLA does the active-set assembly, the Schur
     matmuls (MXU) and the Newton-Schulz inverse; the VMEM-resident kernel
     does the whole solve + refinement + residual cascade in one pass
     (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du).
 
-    da_b: optional pre-computed (da, b) from _assemble_active."""
+    sinv_fn receives a THUNK that assembles the polish Schur matrix, so
+    pass-through/warm implementations can skip the assembly entirely.
+
+    da_b: optional pre-computed (da, b) from _assemble_active.
+    G2: optional pre-computed A @ Hinv @ Aᵀ — round-invariant, and since
+    da is a 0/1 mask, Bm @ Hinv @ Bmᵀ == (da ⊗ da) * G2 BITWISE (masking
+    commutes out of the contraction exactly), so the two Schur matmuls
+    run once per solve instead of once per polish round.  None = assemble
+    lazily inside the thunk (the wi_polish == 0 fast path, where the
+    thunk only traces into the cold cond branch).
+    tiles: optional pre-tiled round-invariant kernel inputs
+    (ops/pallas/polish_kernel.polish_tiles)."""
     from quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel import (
         polish_solve,
     )
@@ -609,14 +663,20 @@ def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
     dtype = data.H.dtype
     m = data.A.shape[-2]
     da, b = _assemble_active(data, state, dtype) if da_b is None else da_b
-    Bm = da[:, :, None] * data.A
-    diag_S = params.polish_reg * da + (1.0 - da)
-    S = Bm @ Hinv @ jnp.swapaxes(Bm, -1, -2) + jnp.einsum(
-        "bi,ij->bij", diag_S, jnp.eye(m, dtype=dtype)
-    )
-    sinv = sinv_fn(S)
+
+    def S_thunk():
+        diag_S = params.polish_reg * da + (1.0 - da)
+        G2v = (
+            data.A @ Hinv @ jnp.swapaxes(data.A, -1, -2) if G2 is None
+            else G2
+        )
+        return da[:, :, None] * da[:, None, :] * G2v + jnp.einsum(
+            "bi,ij->bij", diag_S, jnp.eye(m, dtype=dtype)
+        )
+
+    sinv = sinv_fn(S_thunk)
     x, y, z, pr, du = polish_solve(
         H_reg, Hinv, sinv, data.A, da, data.g, b, data.l, data.u,
-        refine=params.polish_refine, reg=params.polish_reg,
+        refine=params.polish_refine, reg=params.polish_reg, tiles=tiles,
     )
     return QPState(x=x, z=z, y=y), sinv, pr, du

@@ -289,7 +289,8 @@ def test_polish_kernel_matches_xla(rng):
     pk.polish_solve = functools.partial(orig, interpret=True)
     try:
         pol_k, sinv_k, pr_k, du_k = qpm._polish_batched_kernel(
-            data, state, params, H_reg, Hinv, sinv_fn
+            data, state, params, H_reg, Hinv,
+            lambda S_thunk: sinv_fn(S_thunk()),
         )
     finally:
         pk.polish_solve = orig
