@@ -29,7 +29,7 @@ from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
 
 def main():
-    batch = int(os.environ.get("QWBC_BENCH_BATCH", "4096"))
+    batch = int(os.environ.get("QWBC_BENCH_BATCH", "8192"))
     scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "5"))
     reps = int(os.environ.get("QWBC_BENCH_REPS", "3"))
     backend = os.environ.get("QWBC_BENCH_QP_BACKEND", "pallas")

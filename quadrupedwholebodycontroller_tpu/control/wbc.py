@@ -354,33 +354,34 @@ def _finish_step(setup: WBCSetup, qp_state, qp_info, carry: WBCCarry):
     return out, new_carry
 
 
-def _wbc_polish_hinv(H_reg):
-    """Exact closed-form inverse of the regularized WBC polish Hessian.
+def _wbc_polish_hinv(H, reg):
+    """Exact closed-form inverse of the regularized WBC polish Hessian,
+    in the COMPACT (diag, blk, start) form of ops/qp's hinv_fn protocol.
 
     Per the QP layout (SURVEY §3.5, reference cpp:471-484) H is block
     diagonal: identity on the [u_dot_com; qddot] vars, I + J_c,com J_c,com^T
     on the GRF block (rows 18:30), slack_weight I on the slacks — so the
     inverse is two reciprocal diagonals plus one 12x12 SPD closed-form
     block inverse (rank-6 + identity; ops/linalg.spd_inv12 + one Newton
-    polish step).  Replaces the (B, 42, 42) carried Newton-Schulz update."""
+    polish step).  Replaces the (B, 42, 42) carried Newton-Schulz update;
+    the dense inverse is never materialized on the hot path."""
     from quadrupedwholebodycontroller_tpu.ops.linalg import spd_inv12
 
-    dtype = H_reg.dtype
-    B, n = H_reg.shape[0], H_reg.shape[-1]
-    blk = H_reg[:, 18:30, 18:30]
+    dtype = H.dtype
+    B = H.shape[0]
+    blk = H[:, 18:30, 18:30] + reg * jnp.eye(12, dtype=dtype)
     blk_inv = spd_inv12(blk)
     eye2 = 2.0 * jnp.eye(12, dtype=dtype)
     blk_inv = blk_inv @ (eye2 - blk @ blk_inv)  # one Newton step on rounding
     diag = jnp.concatenate(
         [
-            jnp.broadcast_to(1.0 / H_reg[:, 0:1, 0], (B, 18)),
+            jnp.broadcast_to(1.0 / (H[:, 0:1, 0] + reg), (B, 18)),
             jnp.zeros((B, 12), dtype),
-            jnp.broadcast_to(1.0 / H_reg[:, 30:31, 30], (B, 12)),
+            jnp.broadcast_to(1.0 / (H[:, 30:31, 30] + reg), (B, 12)),
         ],
         axis=1,
     )
-    out = jax.vmap(jnp.diag)(diag)
-    return out.at[:, 18:30, 18:30].set(blk_inv)
+    return diag, blk_inv, 18
 
 
 def _switch_masked_warm(carry: WBCCarry, switch):

@@ -45,12 +45,27 @@ def _mvt(M, w):
     return jnp.sum(M * w[:, None, :], axis=0)
 
 
-def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
-                   da_ref, g_ref, b_ref, l_ref, u_ref,
-                   x_ref, y_ref, z_ref, pr_ref, du_ref,
-                   *, refine: int, reg: float):
-    H = H_ref[:]          # (n, n, Bt)  regularized polish H
-    Hinv = Hinv_ref[:]    # (n, n, Bt)
+def _blockdiag_apply(diag, blk, start, v):
+    """(diag ⊕ blk) @ v for a block-diagonal matrix stored compactly.
+
+    diag: (n, Bt) with ZEROS on the block rows; blk: (k, k, Bt) at rows
+    start:start+k.  Bitwise equal to the dense matvec: the dense row sums
+    only add exact zeros on top of these terms."""
+    k = blk.shape[0]
+    dv = diag * v
+    # explicit slice_in_dim: the mixed v[None, a:b, :] bracket lowers to a
+    # gather, which Mosaic cannot lower
+    vs = jax.lax.slice_in_dim(v, start, start + k, axis=0)   # (k, Bt)
+    bv = jnp.sum(blk * vs[None, :, :], axis=1)
+    top = jax.lax.slice_in_dim(dv, 0, start, axis=0)
+    bot = jax.lax.slice_in_dim(dv, start + k, dv.shape[0], axis=0)
+    return jnp.concatenate([top, bv, bot], axis=0)
+
+
+def _polish_body(apply_H, apply_Hinv, Sinv_ref, A_ref,
+                 da_ref, g_ref, b_ref, l_ref, u_ref,
+                 x_ref, y_ref, z_ref, pr_ref, du_ref,
+                 *, refine: int, reg: float):
     Sinv = Sinv_ref[:]    # (m, m, Bt)
     A = A_ref[:]          # (m, n, Bt)  original constraint matrix
     da = da_ref[:]        # (m, Bt)
@@ -65,20 +80,20 @@ def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
 
     D = (1.0 - da) - reg * da
     dab = da * b
-    y = _mv(Sinv, -(dab + bv(_mv(Hinv, g))))
-    x = _mv(Hinv, -g - btw(y))
+    y = _mv(Sinv, -(dab + bv(apply_Hinv(g))))
+    x = apply_Hinv(-g - btw(y))
     for _ in range(refine):
-        r1 = -g - _mv(H, x) - btw(y)
+        r1 = -g - apply_H(x) - btw(y)
         r2 = dab - bv(x) - D * y
-        dy = _mv(Sinv, bv(_mv(Hinv, r1)) - r2)
-        dx = _mv(Hinv, r1 - btw(dy))
+        dy = _mv(Sinv, bv(apply_Hinv(r1)) - r2)
+        dx = apply_Hinv(r1 - btw(dy))
         x = x + dx
         y = y + dy
 
     ax = _mv(A, x)
     z = jnp.clip(ax, l, u)
     # relative KKT residuals — must match ops/qp.kkt_residual exactly
-    hx = _mv(H, x)  # reg*1e-9 difference vs the unregularized H is below f32
+    hx = apply_H(x)  # reg*1e-9 difference vs the unregularized H is below f32
     aty = _mvt(A, y)
     fin_l = jnp.where(jnp.abs(l) < 1e19, jnp.abs(l), 0.0)
     fin_u = jnp.where(jnp.abs(u) < 1e19, jnp.abs(u), 0.0)
@@ -101,6 +116,41 @@ def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
     du_ref[:] = du[None, :]
 
 
+def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
+                   da_ref, g_ref, b_ref, l_ref, u_ref,
+                   x_ref, y_ref, z_ref, pr_ref, du_ref,
+                   *, refine: int, reg: float):
+    """Dense-H variant (generic QPs)."""
+    H = H_ref[:]          # (n, n, Bt)  regularized polish H
+    Hinv = Hinv_ref[:]    # (n, n, Bt)
+    _polish_body(
+        lambda v: _mv(H, v), lambda v: _mv(Hinv, v),
+        Sinv_ref, A_ref, da_ref, g_ref, b_ref, l_ref, u_ref,
+        x_ref, y_ref, z_ref, pr_ref, du_ref, refine=refine, reg=reg,
+    )
+
+
+def _polish_kernel_compact(hd_ref, hblk_ref, hid_ref, hiblk_ref,
+                           Sinv_ref, A_ref,
+                           da_ref, g_ref, b_ref, l_ref, u_ref,
+                           x_ref, y_ref, z_ref, pr_ref, du_ref,
+                           *, refine: int, reg: float, blk_start: int):
+    """Block-diagonal-H variant (the WBC QP: identity vars ⊕ one k×k SPD
+    block ⊕ scaled-identity slacks — SURVEY §3.5).  H and Hinv arrive as
+    (diag, block) pairs: ~9x fewer VPU terms per H-matvec and no dense
+    (B, n, n) H/Hinv materialization or transposes on the XLA side."""
+    hd = hd_ref[:]        # (n, Bt), zeros on the block rows
+    hblk = hblk_ref[:]    # (k, k, Bt)
+    hid = hid_ref[:]
+    hiblk = hiblk_ref[:]
+    _polish_body(
+        lambda v: _blockdiag_apply(hd, hblk, blk_start, v),
+        lambda v: _blockdiag_apply(hid, hiblk, blk_start, v),
+        Sinv_ref, A_ref, da_ref, g_ref, b_ref, l_ref, u_ref,
+        x_ref, y_ref, z_ref, pr_ref, du_ref, refine=refine, reg=reg,
+    )
+
+
 def _to_tile(arr, Bsz, Bp):
     pad = [(0, Bp - Bsz)] + [(0, 0)] * (arr.ndim - 1)
     arr = jnp.pad(arr, pad)
@@ -114,19 +164,35 @@ def polish_tiles(H, Hinv, A, g, l, u):
     The iterated active-set polish (ops/qp.solve_batched) calls
     polish_solve once per round, but only (Sinv, da, b) change between
     rounds; tiling (H, Hinv, A, g, l, u) once per solve saves one
-    HBM round trip per (B, 70, 42)-class array per extra round."""
+    HBM round trip per (B, 70, 42)-class array per extra round.
+
+    H and Hinv may each be a dense (B, n, n) array or a compact
+    block-diagonal (diag (B, n), blk (B, k, k), start) tuple — diag MUST
+    be zero on the block rows."""
     Bsz = A.shape[0]
     Bp = -(-Bsz // LANE_TILE) * LANE_TILE
     big = jnp.asarray(1e20, l.dtype)
     l = jnp.clip(l, -big, big)
     u = jnp.clip(u, -big, big)
     t = lambda a: _to_tile(a, Bsz, Bp)
-    return dict(H=t(H), Hinv=t(Hinv), A=t(A), g=t(g), l=t(l), u=t(u),
-                Bsz=Bsz, Bp=Bp)
+    tiles = dict(A=t(A), g=t(g), l=t(l), u=t(u), Bsz=Bsz, Bp=Bp,
+                 n=A.shape[-1])
+    compact = isinstance(H, tuple)
+    assert compact == isinstance(Hinv, tuple), "H/Hinv forms must match"
+    tiles["compact"] = compact
+    if compact:
+        hd, hblk, start = H
+        hid, hiblk, istart = Hinv
+        assert start == istart
+        tiles.update(hd=t(hd), hblk=t(hblk), hid=t(hid), hiblk=t(hiblk),
+                     blk_start=start, k=hblk.shape[-1])
+    else:
+        tiles.update(H=t(H), Hinv=t(Hinv))
+    return tiles
 
 
 def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
-    n = tiles["H"].shape[0]
+    n = tiles["n"]
     m = tiles["A"].shape[0]
     dtype = tiles["A"].dtype
     Bp = tiles["Bp"]
@@ -137,12 +203,25 @@ def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
     vec = lambda d0: pl.BlockSpec((d0, Bt), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_polish_kernel, refine=refine, reg=float(reg))
+    if tiles["compact"]:
+        k = tiles["k"]
+        kernel = functools.partial(
+            _polish_kernel_compact, refine=refine, reg=float(reg),
+            blk_start=tiles["blk_start"],
+        )
+        h_specs = [vec(n), mat(k, k), vec(n), mat(k, k)]
+        h_args = (tiles["hd"], tiles["hblk"], tiles["hid"], tiles["hiblk"])
+    else:
+        kernel = functools.partial(
+            _polish_kernel, refine=refine, reg=float(reg)
+        )
+        h_specs = [mat(n, n), mat(n, n)]
+        h_args = (tiles["H"], tiles["Hinv"])
     return pl.pallas_call(
         kernel,
         grid=(Bp // Bt,),
-        in_specs=[
-            mat(n, n), mat(n, n), mat(m, m), mat(m, n),
+        in_specs=h_specs + [
+            mat(m, m), mat(m, n),
             vec(m), vec(n), vec(m), vec(m), vec(m),
         ],
         out_specs=(vec(n), vec(m), vec(m), vec(1), vec(1)),
@@ -155,7 +234,7 @@ def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
         ),
         interpret=interpret,
     )(
-        tiles["H"], tiles["Hinv"], Sinv_t, tiles["A"],
+        *h_args, Sinv_t, tiles["A"],
         da_t, tiles["g"], b_t, tiles["l"], tiles["u"],
     )
 
@@ -166,7 +245,8 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
     """Batch-major wrapper: inputs (B, ...) -> (x, y, z, pr, du) batch-major.
 
     H is the REGULARIZED polish Hessian (H + reg I); da the active-row mask;
-    Sinv the (approximate) inverse of the polish Schur complement.
+    Sinv the (approximate) inverse of the polish Schur complement.  H and
+    Hinv may be dense or compact block-diagonal tuples (see polish_tiles).
 
     tiles: optional pre-tiled invariants from polish_tiles (then H, Hinv,
     A, g, l, u may be None)."""

@@ -86,6 +86,16 @@ def _bound_finite(x):
     return jnp.abs(x) < 1e19
 
 
+def _blockdiag_dense(compact):
+    """Densify a compact block-diagonal (diag (B, n), blk (B, k, k), start)
+    matrix (the hinv_fn closed-form protocol); diag is zero on the block
+    rows."""
+    diag, blk, start = compact
+    k = blk.shape[-1]
+    out = jax.vmap(jnp.diag)(diag)
+    return out.at[:, start:start + k, start:start + k].set(blk)
+
+
 def _rho_vec(data: QPData, params: QPSolverParams):
     eq = (data.u - data.l) <= 1e-9
     return jnp.where(eq, params.rho * params.rho_eq_scale, params.rho)
@@ -333,11 +343,13 @@ def solve_batched(
     first cycle and whenever any scenario's contact set switched.  Returns
     (state, info, new_cache) when a cache is provided.
 
-    hinv_fn (pallas backend): optional callable (B, n, n) -> (B, n, n)
-    producing the inverse of the regularized polish Hessian directly —
-    callers that know the problem's block structure (the WBC QP's H is
-    block-diagonal) supply an exact closed form and skip the carried-NS
-    update entirely.
+    hinv_fn (pallas backend): optional callable (H (B, n, n), reg) ->
+    COMPACT block-diagonal inverse (diag (B, n), blk (B, k, k), start) of
+    the regularized polish Hessian — callers that know the problem's block
+    structure (the WBC QP's H is block-diagonal, SURVEY §3.5) supply an
+    exact closed form, skip the carried-NS update entirely, and the dense
+    (B, n, n) regularized H / H⁻¹ are never materialized (the polish
+    kernel applies them in compact form).
 
     prepared (pallas backend): optional (sH, sA, sg, sl, su, rho, wxs, wzs,
     wys, d, e) tuple from a caller that already ran the prepare stage —
@@ -454,14 +466,35 @@ def solve_batched(
     # polish at batch level so the cached inverses stay batched
     n_ = data.H.shape[-1]
     eye_n = jnp.eye(n_, dtype=dtype)
-    H_reg = data.H + params.polish_reg * eye_n
+    H_reg = None
+    H_polish = None  # what polish_tiles gets: dense H_reg or compact
     if params.polish:
         if hinv_fn is not None:
-            Hinv_polish = hinv_fn(H_reg)
+            # closed-form caller-supplied inverse, COMPACT block-diagonal
+            # form (diag, blk, start): the dense (B, n, n) regularized H
+            # and its inverse are never materialized
+            Hinv_polish = hinv_fn(data.H, params.polish_reg)
+            hd, hblk, hstart = Hinv_polish
+            k_ = hblk.shape[-1]
+            diag_reg = (
+                jnp.diagonal(data.H, axis1=-2, axis2=-1) + params.polish_reg
+            )
+            diag_reg = jnp.concatenate(
+                [diag_reg[:, :hstart],
+                 jnp.zeros_like(diag_reg[:, :k_]),
+                 diag_reg[:, hstart + k_:]], axis=1,
+            )
+            blk_reg = (
+                data.H[:, hstart:hstart + k_, hstart:hstart + k_]
+                + params.polish_reg * jnp.eye(k_, dtype=dtype)
+            )
+            H_polish = (diag_reg, blk_reg, hstart)
         else:
+            H_reg = data.H + params.polish_reg * eye_n
             Hinv_polish = make_inv(
                 cache.hinv if cache is not None else None, wi=wi_polish
             )(H_reg)
+            H_polish = H_reg
     else:
         Hinv_polish = None
     # sinv_fn takes a THUNK that builds the polish Schur matrix, so the
@@ -506,9 +539,14 @@ def solve_batched(
         )
 
         if not (wi_polish == 0 and use_warm is not None):
-            G2_pol = data.A @ Hinv_polish @ jnp.swapaxes(data.A, -1, -2)
+            G2_pol = (
+                data.A @ _blockdiag_dense(Hinv_polish)
+                @ jnp.swapaxes(data.A, -1, -2)
+                if isinstance(Hinv_polish, tuple)
+                else data.A @ Hinv_polish @ jnp.swapaxes(data.A, -1, -2)
+            )
         tiles_pol = polish_tiles(
-            H_reg, Hinv_polish, data.A, data.g, data.l, data.u
+            H_polish, Hinv_polish, data.A, data.g, data.l, data.u
         )
 
     best = admm
@@ -523,7 +561,7 @@ def solve_batched(
             da, b = _assemble_active(data, best, dtype)
             if round_i == 0:
                 pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
-                    data, best, params, H_reg, Hinv_polish, sinv_fn,
+                    data, best, params, H_polish, Hinv_polish, sinv_fn,
                     da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                 )
             else:
@@ -556,7 +594,7 @@ def solve_batched(
                 pol, sinv_last, pr_p, du_p = jax.lax.cond(
                     changed,
                     lambda: _polish_batched_kernel(
-                        data, best, params, H_reg, Hinv_polish, sinv_fn,
+                        data, best, params, H_polish, Hinv_polish, sinv_fn,
                         da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                     ),
                     lambda: (best, sinv_prev, inf_r, inf_r),
@@ -565,8 +603,12 @@ def solve_batched(
             res_p = jnp.maximum(pr_p, du_p)
             res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
         else:
+            Hinv_dense = (
+                _blockdiag_dense(Hinv_polish)
+                if isinstance(Hinv_polish, tuple) else Hinv_polish
+            )
             pol = jax.vmap(lambda d, s, hv: _polish(d, s, params, hv))(
-                data, best, Hinv_polish
+                data, best, Hinv_dense
             )
             pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
         ok = res_p <= res_b
@@ -584,7 +626,13 @@ def solve_batched(
     if cache is not None:
         new_cache = QPCache(
             kinv=Kinv,
-            hinv=Hinv_polish if Hinv_polish is not None else cache.hinv,
+            # the compact closed-form inverse is recomputed per step and
+            # never read back from the cache — carry the slot through
+            hinv=(
+                cache.hinv
+                if Hinv_polish is None or isinstance(Hinv_polish, tuple)
+                else Hinv_polish
+            ),
             sinv=sinv_last if sinv_last is not None else cache.sinv,
         )
         return best, info, new_cache
@@ -666,10 +714,13 @@ def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
 
     def S_thunk():
         diag_S = params.polish_reg * da + (1.0 - da)
-        G2v = (
-            data.A @ Hinv @ jnp.swapaxes(data.A, -1, -2) if G2 is None
-            else G2
-        )
+        if G2 is None:
+            Hinv_d = (
+                _blockdiag_dense(Hinv) if isinstance(Hinv, tuple) else Hinv
+            )
+            G2v = data.A @ Hinv_d @ jnp.swapaxes(data.A, -1, -2)
+        else:
+            G2v = G2
         return da[:, :, None] * da[:, None, :] * G2v + jnp.einsum(
             "bi,ij->bij", diag_S, jnp.eye(m, dtype=dtype)
         )

@@ -376,3 +376,50 @@ def test_ns_warm_kernel_matches_xla(rng):
         got = ns_inverse_warm_pallas(A2, w, warm_iters=2, interpret=True)
         err = float(jnp.max(jnp.abs(got - want)))
         assert err < 1e-12, (n, err)
+
+
+def test_polish_kernel_compact_matches_dense(rng):
+    """The compact block-diagonal H/Hinv polish kernel variant equals the
+    dense variant bitwise-tight (the dense matvec only adds exact zeros)."""
+    import quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel as pk
+    from quadrupedwholebodycontroller_tpu.ops.linalg import ns_inverse
+    from quadrupedwholebodycontroller_tpu.ops.qp import _blockdiag_dense
+    from tests.test_qp import random_qp
+
+    B, n, m, k, start = 5, 42, 70, 12, 18
+    dtype = jnp.float64
+    # WBC-structured H: I(18) ⊕ SPD 12x12 ⊕ w·I(12)
+    M = rng.normal(size=(B, k, 6))
+    blk = jnp.asarray(M @ np.swapaxes(M, 1, 2) + np.eye(k), dtype)
+    diag = jnp.concatenate(
+        [jnp.ones((B, start), dtype), jnp.zeros((B, k), dtype),
+         1000.0 * jnp.ones((B, n - start - k), dtype)], axis=1)
+    H = _blockdiag_dense((diag, blk, start))
+    A = jnp.asarray(rng.normal(size=(B, m, n)), dtype)
+    g = jnp.asarray(rng.normal(size=(B, n)), dtype)
+    b = jnp.asarray(rng.normal(size=(B, m)), dtype)
+    l = b - 1.0
+    u = b + jnp.asarray(rng.uniform(0.0, 2.0, size=(B, m)), dtype)
+    da = jnp.asarray(rng.random((B, m)) < 0.4, dtype)
+    reg = 1e-9
+    H_reg = H + reg * jnp.eye(n, dtype=dtype)
+    Hinv = ns_inverse(H_reg, 40)
+    Bm = da[:, :, None] * A
+    S = Bm @ Hinv @ jnp.swapaxes(Bm, -1, -2) + jax.vmap(jnp.diag)(
+        reg * da + (1.0 - da))
+    Sinv = ns_inverse(S, 40)
+
+    dense = pk.polish_solve(H_reg, Hinv, Sinv, A, da, g, b, l, u,
+                            refine=3, reg=reg, interpret=True)
+    # compact form: diag carries the regularization on the non-block rows
+    diag_reg = jnp.where(diag != 0.0, diag + reg, 0.0)
+    blk_reg = blk + reg * jnp.eye(k, dtype=dtype)
+    hi_diag = jnp.where(diag_reg != 0.0, 1.0 / diag_reg, 0.0)
+    hi_blk = jnp.linalg.inv(blk_reg)
+    compact = pk.polish_solve(
+        (diag_reg, blk_reg, start), (hi_diag, hi_blk, start),
+        Sinv, A, da, g, b, l, u, refine=3, reg=reg, interpret=True)
+    # Hinv differs (NS vs exact inverse) at ~1e-12; everything else exact
+    for name, a_, b_ in zip("xyz", dense[:3], compact[:3]):
+        err = float(jnp.max(jnp.abs(a_ - b_)))
+        assert err < 1e-6, (name, err)

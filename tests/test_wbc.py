@@ -210,7 +210,11 @@ def test_wbc_polish_hinv_closed_form():
         setup = jax.vmap(lambda o, rr, c: wbc.wbc_setup(model, cp, o, rr, c))(
             obs, r, carry
         )
+        from quadrupedwholebodycontroller_tpu.ops.qp import _blockdiag_dense
+
         H_reg = setup.qp_data.H + qpp.polish_reg * jnp.eye(42, dtype=dtype)
-        Hinv = wbc._wbc_polish_hinv(H_reg)
+        Hinv = _blockdiag_dense(
+            wbc._wbc_polish_hinv(setup.qp_data.H, qpp.polish_reg)
+        )
         err = float(jnp.max(jnp.abs(Hinv @ H_reg - jnp.eye(42, dtype=dtype))))
         assert err < 1e-12
