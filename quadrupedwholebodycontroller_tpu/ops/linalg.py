@@ -93,6 +93,46 @@ def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12):
 
 
 @full_precision
+def ns_inverse_warm_shared(A, warm, warm_iters: int):
+    """Warm Newton-Schulz update sharing A @ warm between the divergence
+    check and the first iteration.
+
+    ns_inverse's warm path spends one full batched matmul on the
+    ||I - A W||_inf safeguard and then recomputes A @ W as iteration 1's
+    A @ X (bitwise the same product when the warm start is accepted) plus
+    a second _cold_init for the final guard; at B=4096 that is ~25 HBM
+    passes over (B, 42, 42) padded arrays for a 4-matmul update.  Here the
+    check rides the iteration-1 matmul and X0 is computed once: 2*wi
+    matmuls total instead of 2*wi + 1.
+
+    Semantics vs ns_inverse(A, warm=..., warm_iters=wi):
+      * accepted warm starts (the steady state): BITWISE IDENTICAL — same
+        matmul sequence, same reduction shapes.
+      * rejected warm starts (non-finite or ||I - A W||_inf >= 1e3, a
+        pathological safety net — batch-level contact-switch gating
+        handles the systematic case): falls back to the UN-ITERATED
+        Jacobi-scaled X0 instead of X0 refined by wi iterations.  The
+        caller's downstream residual checks flag the affected scenarios
+        either way.
+
+    warm_iters must be >= 1 (use ns_inverse for 0)."""
+    assert warm_iters >= 1
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    X0 = _cold_init(A)
+    M = A @ warm
+    err = jnp.max(jnp.sum(jnp.abs(eye - M), axis=-1), axis=-1)
+    ok = (jnp.isfinite(err) & (err < 1e3))[..., None, None]
+    X = warm @ (2.0 * eye - M)
+    for _ in range(warm_iters - 1):
+        X = X @ (2.0 * eye - A @ X)
+    X = jnp.where(ok, X, X0)
+    # never let a blown-up iterate poison the carried cache
+    finite = jnp.all(jnp.isfinite(X), axis=(-2, -1), keepdims=True)
+    return jnp.where(finite, X, X0)
+
+
+@full_precision
 def spd_solve(A, b, iters: int = 30, refine: int = 2):
     """Solve A x = b (A SPD, b (..., n) or (..., n, k)).
 

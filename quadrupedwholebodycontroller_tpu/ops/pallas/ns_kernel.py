@@ -1,7 +1,8 @@
 """Pallas TPU kernel: batched warm Newton-Schulz SPD inverse, VMEM-resident.
 
 VERDICT (measured, tools/exp_pallas_ns.py, B=4096 n=42 on v5e): this
-kernel LOSES to the XLA path — 11.7 ms vs 7.8 ms for the warm-2 update.
+kernel LOSES to the XLA path — 8.9 ms (statically unrolled outer
+products; 11.7 ms fori-rolled) vs 7.8 ms for the warm-2 update.
 Per-scenario MATMULS (unlike the matvec chains of qp_kernel/polish_kernel)
 have no good VPU expression: the rolled outer-product form below streams
 the (n, n, 128) accumulator through VMEM once per contraction step, O(n)
@@ -61,20 +62,20 @@ TILE = 128  # lane width; Pallas TPU requires 128-divisible lane blocks
 
 
 def _outer_mm(P_ref, Q_ref):
-    """(PᵀQ)[i, j, :] = sum_k P[k, i, :] * Q[k, j, :], rolled over k.
+    """(PᵀQ)[i, j, :] = sum_k P[k, i, :] * Q[k, j, :], STATICALLY unrolled.
 
     P_ref, Q_ref: (n, n, Bt) VMEM refs; the contraction axis is the
-    leading (untiled) one, so the dynamic per-step loads stay off the
-    sublane/lane dims."""
+    leading (untiled) one, so every slice is static.  Unrolled rather
+    than fori_loop-rolled: the rolled form pays per-step loop + dynamic-
+    index overhead that dominated the compute (11.7 ms vs XLA's 7.8 for
+    warm-2 at B=4096); the unrolled chain keeps ONE live accumulator, so
+    it stays within VMEM where the column-stack formulation (27 MB of
+    concurrent temporaries) did not."""
     n = P_ref.shape[0]
-
-    def bk(k, acc):
-        pk = P_ref[k]                                      # (n, Bt)
-        qk = Q_ref[k]
-        return acc + pk[:, None, :] * qk[None, :, :]
-
-    zero = jnp.zeros(P_ref.shape, P_ref.dtype)
-    return jax.lax.fori_loop(0, n, bk, zero)
+    acc = P_ref[0][:, None, :] * Q_ref[0][None, :, :]
+    for k in range(1, n):
+        acc = acc + P_ref[k][:, None, :] * Q_ref[k][None, :, :]
+    return acc
 
 
 def _eye_like(A):

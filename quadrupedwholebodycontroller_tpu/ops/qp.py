@@ -406,11 +406,21 @@ def solve_batched(
         if cache is None or use_warm is None:
             return lambda M: ns_inverse(M, params.ns_iters)
 
+        from quadrupedwholebodycontroller_tpu.ops.linalg import (
+            ns_inverse_warm_shared,
+        )
+
         def inv(M):
             return jax.lax.cond(
                 use_warm,
-                lambda: ns_inverse(
-                    M, params.ns_iters, warm=warm_arr, warm_iters=wi,
+                # shared-matmul warm update: bitwise ns_inverse for
+                # accepted warms, un-iterated X0 on the rare rejection
+                lambda: (
+                    ns_inverse_warm_shared(M, warm_arr, wi)
+                    if wi >= 1
+                    else ns_inverse(
+                        M, params.ns_iters, warm=warm_arr, warm_iters=wi,
+                    )
                 ),
                 lambda: ns_inverse(M, params.ns_iters),
             )

@@ -110,3 +110,31 @@ def test_spd_inv18_mass_matrix(rng):
     X32 = L.spd_inv18(jnp_.asarray(M, jnp_.float32))
     r = np.max(np.abs(np.asarray(jnp_.asarray(M, jnp_.float32) @ X32) - np.eye(18)))
     assert r < 5e-3, r
+
+
+def test_ns_inverse_warm_shared_matches():
+    """Shared-matmul warm NS == ns_inverse bitwise for accepted warm
+    starts; rejected warms fall back to a finite, safe X0."""
+    import numpy as np
+
+    from quadrupedwholebodycontroller_tpu.ops.linalg import (
+        ns_inverse,
+        ns_inverse_warm_shared,
+    )
+
+    rng = np.random.default_rng(5)
+    B, n = 64, 42
+    M = rng.normal(size=(B, n, 12))
+    A = jnp.asarray(M @ np.swapaxes(M, 1, 2) + np.eye(n), jnp.float64)
+    warm = ns_inverse(A, 30)
+    A2 = A * (1.0 + 1e-3 * jnp.asarray(rng.normal(size=(B, 1, 1))))
+    want = ns_inverse(A2, 30, warm=warm, warm_iters=2)
+    got = ns_inverse_warm_shared(A2, warm, 2)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0  # bitwise
+
+    # poisoned warm: NaN and divergent entries fall back finite
+    bad = warm.at[1].set(jnp.nan).at[3].set(warm[3] * 1e9)
+    got_b = ns_inverse_warm_shared(A2, bad, 2)
+    assert bool(jnp.all(jnp.isfinite(got_b)))
+    # good lanes unaffected by the bad ones
+    assert float(jnp.max(jnp.abs(got_b[0] - want[0]))) == 0.0

@@ -80,6 +80,36 @@ def main():
             return c._replace(**sk["carry_updates"]), jnp.sum(sk["g"])
         return jax.lax.scan(body, carry, None, length=SCAN)
 
+    # sub-stages of the solve: K build + warm-NS K^-1, then + P/Kg
+    def k_chain(c, ca, with_p):
+        sk = setup_kernel.setup_batched(model, cp, obs, ref, c, rn,
+                                        qp_params=qp)
+        sH, sA, sg = sk["prepared"][0], sk["prepared"][1], sk["prepared"][2]
+        rho = sk["prepared"][5]
+        K = sH + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
+        from quadrupedwholebodycontroller_tpu.ops.linalg import (
+            ns_inverse_warm_shared,
+        )
+        Kinv = ns_inverse_warm_shared(K, ca.kinv, qp.ns_warm_iters)
+        s = jnp.sum(jnp.abs(Kinv))
+        if with_p:
+            P = sA @ (Kinv @ jnp.swapaxes(sA, -1, -2))
+            Kg = jnp.einsum("bij,bj->bi", Kinv, sg)
+            s = s + jnp.sum(jnp.abs(P)) + jnp.sum(jnp.abs(Kg))
+        return c._replace(**sk["carry_updates"]), s
+
+    @jax.jit
+    def setup_k(carry, cache):
+        def body(c, _):
+            return k_chain(c, cache, False)
+        return jax.lax.scan(body, carry, None, length=SCAN)
+
+    @jax.jit
+    def setup_k_p(carry, cache):
+        def body(c, _):
+            return k_chain(c, cache, True)
+        return jax.lax.scan(body, carry, None, length=SCAN)
+
     # stage B: + the batch QP solve (cache threaded, no finish step)
     @jax.jit
     def setup_solve(carry, cache):
@@ -119,12 +149,17 @@ def main():
 
     (c1, ca1), _ = setup_solve(carry0, cache0)
     t_a = timed("setup_prepare", setup_only, c1)
+    t_k = timed("setup_k", setup_k, c1, ca1)
+    t_kp = timed("setup_k_p", setup_k_p, c1, ca1)
     t_b = timed("setup_solve", setup_solve, c1, ca1)
     t_c = timed("full_step", full, c1, ca1)
     print(json.dumps({
         "B": B,
         "split_ms": {
             "setup_prepare": round(t_a, 2),
+            "k_build_plus_ns": round(t_k - t_a, 2),
+            "p_kg": round(t_kp - t_k, 2),
+            "admm_epi_polish_rest": round(t_b - t_kp, 2),
             "qp_solve": round(t_b - t_a, 2),
             "finish_plus_glue": round(t_c - t_b, 2),
         },
