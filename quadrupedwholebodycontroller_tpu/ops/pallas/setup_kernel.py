@@ -50,7 +50,13 @@ from quadrupedwholebodycontroller_tpu.config import (
     QP_NUM_VARS,
 )
 
-LANE_TILE = 128
+import os as _os
+
+# lane-tile width (scenarios per grid step).  Must be a multiple of 128
+# (Pallas lane-block constraint); 256 halves the grid-step count to
+# amortize per-tile overheads at ~2x the VMEM residency (the scoped limit
+# is raised per-call below).  Env-overridable for tuning experiments.
+LANE_TILE = int(_os.environ.get("QWBC_SETUP_LANE_TILE", "128"))
 
 
 # ---------------------------------------------------------------- helpers
@@ -906,6 +912,11 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        # headroom for LANE_TILE > 128 (v5e VMEM is 128 MB; the 16 MB
+        # scoped default only fits the 128-lane residency)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
 

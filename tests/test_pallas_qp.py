@@ -245,10 +245,13 @@ def test_cached_batched_step_interpret(rng):
         valid = False
         # sigma > 0 pins the x-space kernel path (the default sigma = 0
         # selects the constraint-space kernel, covered by
-        # test_cached_batched_step_zy_interpret above)
+        # test_cached_batched_step_zy_interpret above); polish_rounds=2
+        # keeps the round-2 chained-sinv path covered now that the tuned
+        # default is 1 round
         for _ in range(4):
             out, carry, cache = wbc.wbc_step_batched(
-                model, cp, QPSolverParams(sigma=1e-6), obs, ref, carry, True,
+                model, cp, QPSolverParams(sigma=1e-6, polish_rounds=2),
+                obs, ref, carry, True,
                 "pallas", cache, valid,
             )
             valid = True

@@ -69,6 +69,14 @@ CONFIGS = {
     # ~2 HBM-streamed (B,70,70)/(B,42,42) matmuls, the largest remaining
     # XLA blocks (tools/profile_breakdown.py round 4)
     "kinv2": QPSolverParams(ns_warm_iters=2),
+    # round-5 candidates: with the lazy Schur fast path, polish round 2
+    # costs 0.81 ms marginal while refine passes are ~free
+    # (tools/profile_deltas.py) — try buying round-2's accuracy with
+    # refinement instead
+    "rounds1_refine5": QPSolverParams(polish_rounds=1, polish_refine=5),
+    "rounds1_refine4_admm80": QPSolverParams(
+        polish_rounds=1, polish_refine=4, iterations=80
+    ),
     "polish0": QPSolverParams(ns_warm_iters_polish=0),
     "kinv2_polish0": QPSolverParams(ns_warm_iters=2, ns_warm_iters_polish=0),
     "iters50": QPSolverParams(iterations=50),
