@@ -6,7 +6,9 @@ with warm start, torque map — everything the reference does per 400 Hz cycle
 at src/whole_body_controller.cpp:650-652) over a scenario batch with the
 Pallas QP backend, timed as a lax.scan of control steps inside one jit (the
 sweep execution pattern; also the only dispatch-artifact-free measurement on
-this TPU stack).  Prints ONE JSON line.
+this TPU stack).  SCAN=50 amortizes the fixed ~28 ms per-dispatch cost of
+the axon remote-execution stack below 2% (see CLAUDE.md).  Prints ONE JSON
+line.
 
 vs_baseline is against the reference's engineered real-time rate: 400 WBC
 QP solves/s on a desktop CPU (config/params_controller.yaml:3 — it publishes
@@ -30,7 +32,7 @@ from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
 def main():
     batch = int(os.environ.get("QWBC_BENCH_BATCH", "8192"))
-    scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "5"))
+    scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "50"))
     reps = int(os.environ.get("QWBC_BENCH_REPS", "3"))
     backend = os.environ.get("QWBC_BENCH_QP_BACKEND", "pallas")
     if jax.default_backend() == "cpu":

@@ -169,7 +169,7 @@ def _topology(parent):
 
 
 # ---------------------------------------------------------------- kernel
-def _make_kernel(const, params, qp_params=None):
+def _make_kernel(const, params, qp_params=None, stop_after=None):
     """Build the kernel closure over static model constants.
 
     const: dict of numpy arrays/tuples (see setup_batched); params: the
@@ -177,7 +177,20 @@ def _make_kernel(const, params, qp_params=None):
     qp_params (optional QPSolverParams): fuse the QP prepare stage (Ruiz
     equilibration + problem/warm scaling + rho, ops/pallas/
     prepare_kernel.py) into the same launch — the warm start (wx, wz, wy)
-    joins the inputs and the scaled problem joins the outputs."""
+    joins the inputs and the scaled problem joins the outputs.
+
+    stop_after (PROFILING ONLY, tools/profile_setup_sections.py): truncate
+    the kernel after the named section, writing a checksum of that
+    section's live values into com_ref so nothing gets dead-code
+    eliminated; the remaining output refs stay unwritten (garbage).
+    Sections: fk, jac, recursion, mass, centroidal, foot, fd."""
+
+    def _checksum(com_ref, arrays):
+        tot = None
+        for a in arrays:
+            s = jnp.sum(a, axis=tuple(range(a.ndim - 1)))
+            tot = s if tot is None else tot + s
+        com_ref[:] = jnp.stack([tot, tot, tot])
     parent = const["parent"]
     anc = _topology(parent)
     nb = len(parent)
@@ -253,6 +266,11 @@ def _make_kernel(const, params, qp_params=None):
         contacts = jnp.where(refnew[None, :] > 0.5, rcon, prevc)
         c_leg = [contacts[i] for i in range(nl)]
 
+        if stop_after == "inputs":
+            _checksum(com_ref, [R0, p0, bv, qd, sq, cq, contacts,
+                                switch_f[None]])
+            return dict()
+
         # ---- FK (level math unrolled over the static tree) ----
         R = [None] * nb
         p = [None] * nb
@@ -291,6 +309,11 @@ def _make_kernel(const, params, qp_params=None):
             orgw[j] = p[b]
             cw[b] = p[b] + _const_mv(R[b], com_b[b])
 
+        if stop_after == "fk":
+            _checksum(com_ref, [jnp.stack(R[1:]), jnp.stack(p),
+                                jnp.stack(cw), jnp.stack(axw)])
+            return dict()
+
         # ---- Jacobian parts / body velocities (ops/kinematics.py) ----
         om = bv[3:6]
         r = [cw[b] - p0 for b in range(nb)]
@@ -312,6 +335,11 @@ def _make_kernel(const, params, qp_params=None):
             clv = clv + v[b] * (mass[b] / m_tot)
         com_vel6 = jnp.concatenate([clv, om], axis=0)
         d_com = com - p0
+
+        if stop_after == "jac":
+            _checksum(com_ref, [com_vel6, d_com]
+                      + [jq[b][j] for b in range(1, nb) for j in anc[b]])
+            return dict()
 
         # ---- world inertias Iw = R I R^T ----
         Iw = [None] * nb
@@ -368,6 +396,10 @@ def _make_kernel(const, params, qp_params=None):
         h_cor = jnp.concatenate(
             [h_lin, h_ang, jnp.stack(h_j)], axis=0
         )                                             # (18, Bt)
+
+        if stop_after == "recursion":
+            _checksum(com_ref, [h_cor, jnp.stack([Iw[b] for b in range(nb)])])
+            return dict()
 
         # ---- mass matrix blocks (ops/dynamics.mass_matrix_from_parts) ----
         # Iwa[b][j] = Iw_b @ axw_j, shared by Mbj-bottom and Mjj
@@ -466,6 +498,10 @@ def _make_kernel(const, params, qp_params=None):
         X = _mm(Mb_inv, Mbj)
         X = X + _mm(Mb_inv, Mbj - _mm(Mb, X))         # (6, nj, Bt)
 
+        if stop_after == "mass":
+            _checksum(com_ref, [X, Mjj, Mb_inv, Mbj])
+            return dict()
+
         # ---- centroidal mass blocks ----
         MbX = _mm(Mb, X)
         mcjj_cols = [
@@ -519,6 +555,10 @@ def _make_kernel(const, params, qp_params=None):
             axis=0,
         )                                             # (18, Bt)
 
+        if stop_after == "centroidal":
+            _checksum(com_ref, [h_c, Mc_jj, Mc_base])
+            return dict()
+
         # ---- foot kinematics + centroidal foot Jacobians ----
         eye3 = jnp.stack(
             [
@@ -569,6 +609,10 @@ def _make_kernel(const, params, qp_params=None):
         Jc_sw = jnp.concatenate(
             [Jc_feet[f] * (1.0 - c_leg[f]) for f in range(nl)], axis=0
         )
+
+        if stop_after == "foot":
+            _checksum(com_ref, [Jc_st, Jc_sw, foot_pos, foot_vel])
+            return dict()
 
         # ---- T top rows: [adj_inv | adj_inv @ X] ----
         btop_cols = [
@@ -628,6 +672,10 @@ def _make_kernel(const, params, qp_params=None):
         tdnew_top = -jnp.concatenate(
             [mm_adj_right(adjD1), adjD2 - _mm(adjD1, X)], axis=1
         )                                             # (6, 18, Bt)
+
+        if stop_after == "fd":
+            _checksum(com_ref, [tdnew_top, Jd_st, Jd_sw, T_top])
+            return dict()
 
         # ---- desired wrench (cpp:426-445) ----
         rpy = rpy_ref[:]
@@ -844,13 +892,14 @@ def _make_kernel(const, params, qp_params=None):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("const_arrays", "params", "qp_params", "interpret"),
+    static_argnames=("const_arrays", "params", "qp_params", "interpret",
+                     "stop_after"),
 )
 def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
                 rpose, rvel, racc, spos, svel, sacc, rcon,
                 oldT_top, oldJst, oldJsw, tdinv_top, integ, prevc,
                 swflag, derivv, refnew, wx=None, wz=None, wy=None,
-                *, qp_params=None, interpret=False):
+                *, qp_params=None, interpret=False, stop_after=None):
     """Batch-major pallas wrapper (const_arrays: hashable tuple-of-tuples).
 
     With qp_params (and warm wx/wz/wy), the fused-prepare kernel variant
@@ -872,7 +921,7 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
     vec = lambda d0: pl.BlockSpec((d0, Bt), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(const, params, qp_params)
+    kernel = _make_kernel(const, params, qp_params, stop_after)
     n, m = QP_NUM_VARS, QP_NUM_CONSTRAINTS
     sds = lambda *shape: jax.ShapeDtypeStruct(shape + (Bp,), dtype)
     in_specs = [
@@ -960,7 +1009,8 @@ def _unpack_const(packed):
 
 
 def setup_batched(model, params, obs, ref, carry, ref_is_new,
-                  interpret: bool | None = None, qp_params=None):
+                  interpret: bool | None = None, qp_params=None,
+                  stop_after=None):
     """Fused-kernel replacement for vmap(wbc_setup) (batch-major API).
 
     Returns the same pieces as control/wbc.WBCSetup, as a dict:
@@ -1008,6 +1058,7 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
         *warm_args,
         qp_params=qp_params,
         interpret=interpret,
+        stop_after=stop_after,
     )
     prepared = None
     if qp_params is not None:

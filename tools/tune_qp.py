@@ -85,7 +85,7 @@ CONFIGS = {
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
 ROLL_B = int(os.environ.get("TUNE_ROLL_B", "256"))
 ROLL_T = int(os.environ.get("TUNE_ROLL_T", "400"))
-SCAN = 5
+SCAN = 50
 REPS = 3
 
 
