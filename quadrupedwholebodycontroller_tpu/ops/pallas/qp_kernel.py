@@ -117,33 +117,42 @@ def _admm_res_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
     du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
 
 
-def _admm_zy_kernel(P_ref, c_ref, l_ref, u_ref, rho_ref, z0_ref, y0_ref,
+def _admm_zy_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
+                    z0_ref, y0_ref,
                     zo_ref, yo_ref, Vo_ref, *, iters: int, alpha: float):
     """Constraint-space ADMM loop (sigma = 0).
 
     With sigma = 0 the x-update x~ = K^{-1}(A^T u - g), u = rho z - y, makes
-    the (z, y) iteration closed:  z~ = P u + c  with  P = A K^{-1} A^T and
-    c = -A K^{-1} g  precomputed — ONE (m, m) reduction per iteration instead
-    of the three chained (m,n)/(n,n)/(m,n) reductions of the x-space body.
+    the (z, y) iteration closed:  z~ = A K^{-1} A^T u + c  with
+    c = -A K^{-1} g.  The A K^{-1} A^T apply runs as three chained matvecs
+    on the RESIDENT (A, Kinv) — measured (round 5, post dispatch-constant
+    correction) this beats precomputing P = A K^{-1} A^T in XLA: the two
+    (B,70,42)x(42,42) batched matmuls, the padded (B,70,70) HBM round trip,
+    and the batch-minor transpose of P cost ~1 ms/step, while the extra
+    in-kernel reductions cost ~0.3 ms at 60 iterations.
     The relaxed x_K is recovered EXACTLY from the linear recursion
         x_{k+1} = (1-alpha) x_k + alpha (K^{-1}A^T u_k - K^{-1}g)
     via the accumulator V_{k+1} = (1-alpha) V_k + alpha u_k  (V_0 = 0):
         x_K = (1-alpha)^K x_0 + K^{-1}A^T V_K - (1 - (1-alpha)^K) K^{-1}g
     (the epilogue kernel below).  Same fixed point as the sigma > 0
     iteration (the proximal term vanishes at convergence); sigma only
-    changes the path.  Split from the epilogue so only P is VMEM-resident
-    here — one fused kernel blows the 16 MB scoped-VMEM budget."""
-    P = P_ref[:]          # (m, m, Bt)
-    c = c_ref[:]          # (m, Bt)  -A K^{-1} g
+    changes the path."""
+    Kinv = Kinv_ref[:]    # (n, n, Bt)
+    A = A_ref[:]          # (m, n, Bt)  SCALED constraint matrix
     l = l_ref[:]
     u = u_ref[:]
     rho = rho_ref[:]
     inv_rho = 1.0 / rho
+    # c = -A K^{-1} g, two matvecs once on the resident tiles
+    kg = jnp.sum(Kinv * g_ref[:][None, :, :], axis=1)          # (n, Bt)
+    c = -jnp.sum(A * kg[None, :, :], axis=1)                   # (m, Bt)
 
     def body(_, st):
         z, y, V = st
         t = rho * z - y                                        # (m, Bt)
-        z_t = jnp.sum(P * t[None, :, :], axis=1) + c           # (m, Bt)
+        at = jnp.sum(A * t[:, None, :], axis=0)                # A^T t (n, Bt)
+        kat = jnp.sum(Kinv * at[None, :, :], axis=1)           # (n, Bt)
+        z_t = jnp.sum(A * kat[None, :, :], axis=1) + c         # (m, Bt)
         z_rel = alpha * z_t + (1.0 - alpha) * z
         z_n = jnp.clip(z_rel + y * inv_rho, l, u)
         y_n = y + rho * (z_rel - z_n)
@@ -158,7 +167,7 @@ def _admm_zy_kernel(P_ref, c_ref, l_ref, u_ref, rho_ref, z0_ref, y0_ref,
     Vo_ref[:] = V
 
 
-def _zy_epilogue_kernel(Kinv_ref, Kg_ref, A_ref, g_ref, Hs_ref,
+def _zy_epilogue_kernel(Kinv_ref, A_ref, g_ref, Hs_ref,
                         x0_ref, V_ref, y_ref,
                         lo_ref, uo_ref, d_ref, e_ref,
                         xo_ref, pr_ref, du_ref,
@@ -166,7 +175,7 @@ def _zy_epilogue_kernel(Kinv_ref, Kg_ref, A_ref, g_ref, Hs_ref,
     """x reconstruction from the V accumulator + unscaled relative-KKT
     residuals (matches ops/qp.kkt_residual / _admm_res_kernel's epilogue)."""
     A = A_ref[:]          # (m, n, Bt)
-    Kg = Kg_ref[:]        # (n, Bt)
+    Kg = jnp.sum(Kinv_ref[:] * g_ref[:][None, :, :], axis=1)  # K^{-1} g
     y = y_ref[:]
     w0 = (1.0 - alpha) ** iters
     atv = jnp.sum(A * V_ref[:][:, None, :], axis=0)            # A^T V  (n, Bt)
@@ -205,15 +214,16 @@ def _zy_epilogue_kernel(Kinv_ref, Kg_ref, A_ref, g_ref, Hs_ref,
 @functools.partial(
     jax.jit, static_argnames=("iters", "alpha", "interpret")
 )
-def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
+def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
                            Hs, l_orig, u_orig, d, e,
                            *, iters: int, alpha: float,
                            interpret: bool = False):
     """Constraint-space (sigma = 0) ADMM + residual epilogue, batch-major.
 
-    P (B,m,m) = A K^{-1} A^T, Kinv (B,n,n), Kg (B,n) = K^{-1} g, all in
-    SCALED space; the rest as admm_iterations_res.
-    Returns (x, z, y, pr, du)."""
+    Kinv (B,n,n) = K^{-1} in SCALED space; A/g/l/u/rho likewise scaled;
+    A K^{-1} A^T, K^{-1} g and c = -A K^{-1} g are applied/formed on the
+    VMEM-resident tiles in-kernel (no P matrix, no XLA matvecs).
+    The rest as admm_iterations_res.  Returns (x, z, y, pr, du)."""
     B, m, n = A.shape
     dtype = A.dtype
     Bt = LANE_TILE
@@ -240,9 +250,9 @@ def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
     vec_spec = lambda d0: pl.BlockSpec(
         (d0, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    # c = -A K^{-1} g, one streamed matvec in XLA (keeps the loop kernel's
-    # resident set to P + vectors)
-    c = -jnp.einsum("bij,bj->bi", A, jnp.einsum("bij,bj->bi", Kinv, g))
+    Kinv_t = to_tile(Kinv)
+    A_t = to_tile(A)
+    g_t = to_tile(g)
 
     loop_kernel = functools.partial(
         _admm_zy_kernel, iters=iters, alpha=float(alpha)
@@ -251,7 +261,7 @@ def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
         loop_kernel,
         grid=grid,
         in_specs=[
-            mat_spec(m, m), vec_spec(m),
+            mat_spec(n, n), mat_spec(m, n), vec_spec(n),
             vec_spec(m), vec_spec(m), vec_spec(m),
             vec_spec(m), vec_spec(m),
         ],
@@ -262,7 +272,7 @@ def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((m, Bp), dtype),
         ),
         interpret=interpret,
-    )(to_tile(P), to_tile(c), to_tile(l), to_tile(u),
+    )(Kinv_t, A_t, g_t, to_tile(l), to_tile(u),
       to_tile(rho, fill=1.0), to_tile(z0), to_tile(y0))
 
     epi_kernel = functools.partial(
@@ -272,7 +282,7 @@ def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
         epi_kernel,
         grid=grid,
         in_specs=[
-            mat_spec(n, n), vec_spec(n), mat_spec(m, n), vec_spec(n),
+            mat_spec(n, n), mat_spec(m, n), vec_spec(n),
             mat_spec(n, n),
             vec_spec(n), vec_spec(m), vec_spec(m),
             vec_spec(m), vec_spec(m), vec_spec(n), vec_spec(m),
@@ -284,7 +294,7 @@ def admm_zy_iterations_res(P, Kinv, Kg, A, g, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
         interpret=interpret,
-    )(to_tile(Kinv), to_tile(Kg), to_tile(A), to_tile(g), to_tile(Hs),
+    )(Kinv_t, A_t, g_t, to_tile(Hs),
       to_tile(x0), Vo, yo,
       to_tile(l_orig), to_tile(u_orig),
       to_tile(d, fill=1.0), to_tile(e, fill=1.0))

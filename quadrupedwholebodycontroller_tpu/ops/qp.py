@@ -430,16 +430,14 @@ def solve_batched(
     Kinv = make_inv(cache.kinv if cache is not None else None)(K)
 
     if params.sigma == 0.0:
-        # constraint-space iteration (ops/pallas/qp_kernel
-        # ._admm_zy_res_kernel): with sigma = 0 the (z, y) recursion closes
-        # over P = A K^{-1} A^T — one 70-wide reduction per iteration
-        # instead of three chained ones, x recovered exactly at the end
-        P = sdata.A @ (Kinv @ jnp.swapaxes(sdata.A, -1, -2))  # (B, m, m)
-        Kg = jnp.einsum("bij,bj->bi", Kinv, sdata.g)
-
+        # constraint-space iteration (ops/pallas/qp_kernel._admm_zy_kernel):
+        # with sigma = 0 the (z, y) recursion closes over A K^{-1} A^T,
+        # applied in-kernel on the resident (A, Kinv) tiles — no P matrix
+        # is ever built (the P-precompute variant cost ~1 ms/step in XLA
+        # matmuls + the padded (B,70,70) round trip + its transpose)
         def run_admm(x0, z0, y0, iters):
             return qp_kernel.admm_zy_iterations_res(
-                P, Kinv, Kg, sdata.A, sdata.g, sdata.l, sdata.u, rho,
+                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
                 x0, z0, y0, sdata.H, data.l, data.u, dscale, escale,
                 iters=iters, alpha=params.alpha,
             )

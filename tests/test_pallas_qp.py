@@ -101,12 +101,10 @@ def test_zy_kernel_matches_xla_sigma0(rng):
 
     K = jax.vmap(lambda d, r: d.H + (d.A.T * r) @ d.A)(data, rho_b)
     Kinv = jnp.linalg.inv(K)
-    P = data.A @ (Kinv @ jnp.swapaxes(data.A, -1, -2))
-    Kg = jnp.einsum("bij,bj->bi", Kinv, data.g)
     ones_n = jnp.ones((B, n), jnp.float32)
     ones_m = jnp.ones((B, m), jnp.float32)
     x_p, z_p, y_p, pr, du = admm_zy_iterations_res(
-        P, Kinv, Kg, data.A, data.g, data.l, data.u, rho_b,
+        Kinv, data.A, data.g, data.l, data.u, rho_b,
         warm.x, warm.z, warm.y, data.H, data.l, data.u, ones_n, ones_m,
         iters=iters, alpha=alpha, interpret=True,
     )
