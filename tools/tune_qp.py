@@ -74,6 +74,13 @@ CONFIGS = {
     # (tools/profile_deltas.py) — try buying round-2's accuracy with
     # refinement instead
     "rounds1_refine5": QPSolverParams(polish_rounds=1, polish_refine=5),
+    # post-P-free candidates: ADMM iterations are 3 cheap matvecs now and
+    # refine=5 absorbs preconditioner error — probe trimming the remaining
+    # HBM-bound blocks (warm-NS matmuls) and the iteration count
+    "admm40": QPSolverParams(iterations=40),
+    "admm80": QPSolverParams(iterations=80),
+    "warm1_new": QPSolverParams(ns_warm_iters=1),
+    "warm1_admm80": QPSolverParams(ns_warm_iters=1, iterations=80),
     "rounds1_refine4_admm80": QPSolverParams(
         polish_rounds=1, polish_refine=4, iterations=80
     ),
