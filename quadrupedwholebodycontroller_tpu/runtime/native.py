@@ -45,6 +45,12 @@ def load():
     lib.qwbc_mass_and_bias.argtypes = [ctypes.c_int, ip] + [dp] * 11
     lib.qwbc_mass_and_bias.restype = None
 
+    lib.qwbc_qp_assembly.argtypes = (
+        [ctypes.c_int, ip] + [dp] * 6 + [ctypes.c_int, ip] + [dp] * 7
+        + [ctypes.c_int, ctypes.c_int] + [dp] * 2
+    )
+    lib.qwbc_qp_assembly.restype = None
+
     lib.qwbc_trajlog_create.argtypes = [ctypes.c_uint32, ctypes.c_uint64]
     lib.qwbc_trajlog_create.restype = ctypes.c_void_p
     lib.qwbc_trajlog_append_many.argtypes = [ctypes.c_void_p, dp, ctypes.c_uint64]
@@ -94,6 +100,65 @@ def oracle_mass_and_bias(model, base_R, q, u):
         _dptr(h),
     )
     return M, h
+
+
+def oracle_qp_assembly(model, params, obs, ref, carry, switch_flag, deriv_valid):
+    """Independent C++ re-derivation of the full WBC QP assembly
+    (reference whole_body_controller.cpp:256-320,384-515; JAX side
+    control/wbc.wbc_setup).  Closes the last self-referential link in the
+    torque-parity chain: the centroidal transform + H/g/A/l/u assembly is
+    otherwise only validated by two same-author implementations.
+
+    obs: RobotObservation; ref: Reference (contacts already resolved);
+    carry: WBCCarry (qp_warm ignored).  Returns a dict with the QP data and
+    the carry updates for chaining multi-cycle runs, or None when the
+    native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    f64 = lambda x: np.ascontiguousarray(np.asarray(x), dtype=np.float64)
+    i32 = lambda x: np.ascontiguousarray(np.asarray(x), dtype=np.int32)
+    ipp = ctypes.POINTER(ctypes.c_int32)
+    refs = np.concatenate([
+        f64(ref.com_pose), f64(ref.com_vel), f64(ref.com_acc),
+        f64(ref.swing_pos), f64(ref.swing_vel), f64(ref.swing_acc),
+        f64(ref.contacts),
+    ])
+    carry_packed = np.concatenate([
+        f64(carry.old_T).ravel(), f64(carry.old_J_st).ravel(),
+        f64(carry.old_J_sw).ravel(), f64(carry.tdot_inv).ravel(),
+        f64(carry.integral_error),
+    ])
+    par = np.array([
+        params.kp, params.kp_z, params.kd, params.ki, params.kp_swing,
+        params.kd_swing, params.friction, params.max_torque,
+        params.slack_weight, params.loop_rate, 1.0e20,
+    ])
+    outs = np.zeros(42 * 42 + 42 + 70 * 42 + 70 + 70 + 18 + 324 + 216 + 216 + 324 + 6)
+    lib.qwbc_qp_assembly(
+        model.num_bodies,
+        i32(model.parent).ctypes.data_as(ipp),
+        _dptr(f64(model.joint_R)), _dptr(f64(model.joint_p)),
+        _dptr(f64(model.joint_axis)), _dptr(f64(model.mass)),
+        _dptr(f64(model.com)), _dptr(f64(model.inertia)),
+        len(model.frame_body),
+        i32(model.frame_body).ctypes.data_as(ipp),
+        _dptr(f64(model.frame_p)),
+        _dptr(f64(obs.base_R)), _dptr(f64(obs.base_p)), _dptr(f64(obs.q)),
+        _dptr(f64(np.concatenate([f64(obs.base_vel), f64(obs.qd)]))),
+        _dptr(refs), _dptr(carry_packed),
+        int(switch_flag), int(deriv_valid), _dptr(par), _dptr(outs),
+    )
+    o, out = 0, {}
+    for name, shape in [
+        ("H", (42, 42)), ("g", (42,)), ("A", (70, 42)), ("l", (70,)),
+        ("u", (70,)), ("h_c", (18,)), ("T", (18, 18)), ("Jc_st", (12, 18)),
+        ("Jc_sw", (12, 18)), ("tdot_inv", (18, 18)), ("integral_error", (6,)),
+    ]:
+        n = int(np.prod(shape))
+        out[name] = outs[o:o + n].reshape(shape)
+        o += n
+    return out
 
 
 class TrajLog:
