@@ -139,6 +139,15 @@ class QPSolverParams:
                                   # polish round (preconditioned Richardson on
                                   # the KKT system — recovers the digits a
                                   # short warm NS inverse leaves on the table)
+    # f32 tail rescue (the batched analogue of qpOASES setToReliable,
+    # reference whole_body_controller.cpp:519): when any scenario's relative
+    # KKT exceeds rescue_threshold after polish, the whole batch gets one
+    # guarded re-solve (extra ADMM iterations from the current best iterate
+    # + fresh cold-inverse polish), accepted per-scenario only where it
+    # improves.  Wrapped in a batch-level lax.cond: costs nothing on the
+    # (typical) steps where every scenario is already below threshold.
+    rescue_threshold: float = 3e-3  # <= 0 disables
+    rescue_iterations: int = 100
 
 
 def load_yaml_params(path: str):

@@ -315,7 +315,75 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
         kkt_residual=res_b,
         polished=polished,
     )
+    if params.rescue_threshold > 0:
+        rparams = _rescue_solver_params(params)
+
+        def do_rescue(ops):
+            b, i = ops
+            st, ri = solve(data, b, rparams)
+            ok = ri.kkt_residual <= i.kkt_residual
+            return (
+                jax.tree.map(lambda p, a: jnp.where(ok, p, a), st, b),
+                QPInfo(
+                    primal_residual=jnp.where(ok, ri.primal_residual, i.primal_residual),
+                    dual_residual=jnp.where(ok, ri.dual_residual, i.dual_residual),
+                    kkt_residual=jnp.where(ok, ri.kkt_residual, i.kkt_residual),
+                    polished=i.polished | (ok & ri.polished),
+                ),
+            )
+
+        best, info = jax.lax.cond(
+            info.kkt_residual > params.rescue_threshold,
+            do_rescue,
+            lambda ops: ops,
+            (best, info),
+        )
     return best, info
+
+
+def _rescue_solver_params(params: QPSolverParams) -> QPSolverParams:
+    """Solver settings for the guarded tail re-solve: more ADMM iterations,
+    a second polish round, rescue disabled (no recursion)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        params,
+        iterations=params.rescue_iterations,
+        polish_rounds=max(2, params.polish_rounds),
+        rescue_threshold=0.0,
+    )
+
+
+def _rescue_batched(data, best, info, params, backend, hinv_fn):
+    """Per-scenario f32 tail rescue (the batched qpOASES-setToReliable
+    analogue, reference cpp:519): if ANY scenario's relative KKT exceeds
+    rescue_threshold, re-solve the batch warm-started from the current best
+    iterate with the rescue budget, and accept per-scenario only where the
+    residual improves.  The batch-level lax.cond keeps the rescue off the
+    hot path: on typical steps (no flagged scenario) it costs one scalar
+    compare."""
+    rparams = _rescue_solver_params(params)
+
+    def do_rescue(ops):
+        b, i = ops
+        st, ri = solve_batched(data, b, rparams, backend, hinv_fn=hinv_fn)
+        ok = ri.kkt_residual <= i.kkt_residual
+        oke = ok[:, None]
+        merged = QPState(
+            x=jnp.where(oke, st.x, b.x),
+            z=jnp.where(oke, st.z, b.z),
+            y=jnp.where(oke, st.y, b.y),
+        )
+        minfo = QPInfo(
+            primal_residual=jnp.where(ok, ri.primal_residual, i.primal_residual),
+            dual_residual=jnp.where(ok, ri.dual_residual, i.dual_residual),
+            kkt_residual=jnp.where(ok, ri.kkt_residual, i.kkt_residual),
+            polished=i.polished | (ok & ri.polished),
+        )
+        return merged, minfo
+
+    flagged = jnp.any(info.kkt_residual > params.rescue_threshold)
+    return jax.lax.cond(flagged, do_rescue, lambda ops: ops, (best, info))
 
 
 @_full_precision
@@ -358,10 +426,21 @@ def solve_batched(
     warm scaling in `prepared` must already include any switch masking;
     `warm` is still used for the unscaled cold-start detection."""
     if backend == "xla":
-        out = jax.vmap(lambda d, w: solve(d, w, params))(data, warm)
+        # the single-sample rescue cond would lower to a both-branches
+        # select under vmap — disable it and rescue at batch level instead
+        import dataclasses
+
+        p_inner = (
+            dataclasses.replace(params, rescue_threshold=0.0)
+            if params.rescue_threshold > 0
+            else params
+        )
+        st, inf = jax.vmap(lambda d, w: solve(d, w, p_inner))(data, warm)
+        if params.rescue_threshold > 0:
+            st, inf = _rescue_batched(data, st, inf, params, backend, hinv_fn)
         if cache is not None:
-            return out[0], out[1], cache  # xla path keeps no factorizations
-        return out
+            return st, inf, cache  # xla path keeps no factorizations
+        return st, inf
     if backend != "pallas":
         raise ValueError(backend)
 
@@ -631,6 +710,8 @@ def solve_batched(
         res_b = jnp.where(ok, res_p, res_b)
         polished = polished | ok
     info = QPInfo(pr_b, du_b, res_b, polished)
+    if params.rescue_threshold > 0:
+        best, info = _rescue_batched(data, best, info, params, backend, hinv_fn)
     if cache is not None:
         new_cache = QPCache(
             kinv=Kinv,

@@ -104,8 +104,11 @@ def test_warm_start_improves(rng):
         H=data.H, g=data.g + 0.01, A=data.A, l=data.l + 0.005, u=data.u + 0.005
     )
     # pin cold_iterations too: the point is warm-vs-cold at EQUAL budget
-    # (by default a cold start gets the qpOASES-style init boost)
-    few = QPSolverParams(iterations=15, cold_iterations=15, polish=False)
+    # (by default a cold start gets the qpOASES-style init boost, and a
+    # bad residual would trigger the tail rescue)
+    few = QPSolverParams(
+        iterations=15, cold_iterations=15, polish=False, rescue_threshold=0.0
+    )
     warm, info_w = qp.solve(data2, state, few)
     cold, info_c = qp.solve(data2, qp.QPState.zeros(12, 20, jnp.float64), few)
     assert float(info_w.kkt_residual) < float(info_c.kkt_residual)
@@ -139,3 +142,41 @@ def test_infeasible_flagged(rng):
     _, info = qp.solve(data, qp.QPState.zeros(n, 2, jnp.float64),
                        QPSolverParams(iterations=100))
     assert float(info.primal_residual) > 0.1
+
+
+def test_rescue_recovers_tail(rng):
+    """The f32-tail rescue (the batched qpOASES-setToReliable analogue,
+    reference cpp:519): an under-budgeted solve whose residual exceeds
+    rescue_threshold must be recovered by the guarded re-solve, per
+    scenario, in both single-sample and batched paths."""
+    datas = [random_qp(np.random.default_rng(s), n=10, m=16) for s in range(6)]
+    data = jax.tree.map(lambda *xs: jnp.stack(xs), *datas)
+    warm = jax.vmap(lambda _: qp.QPState.zeros(10, 16, jnp.float64))(jnp.arange(6))
+    # starve the main solve so its tail is bad, then let the rescue run
+    starved = QPSolverParams(
+        iterations=3, cold_iterations=3, polish=False, rescue_threshold=0.0
+    )
+    st0, info0 = qp.solve_batched(data, warm, starved)
+    assert float(jnp.max(info0.kkt_residual)) > 1e-3  # genuinely bad tail
+
+    rescued = QPSolverParams(
+        iterations=3, cold_iterations=3, polish=False,
+        rescue_threshold=1e-3, rescue_iterations=150,
+    )
+    st1, info1 = qp.solve_batched(data, warm, rescued)
+    assert float(jnp.max(info1.kkt_residual)) <= float(jnp.max(info0.kkt_residual))
+    assert float(jnp.max(info1.kkt_residual)) < 1e-3
+    # acceptance is monotone per scenario
+    assert bool(jnp.all(info1.kkt_residual <= info0.kkt_residual + 1e-12))
+
+    # single-sample path: same guarded re-solve semantics
+    st2, info2 = qp.solve(datas[0], qp.QPState.zeros(10, 16, jnp.float64), rescued)
+    assert float(info2.kkt_residual) < 1e-3
+
+    # below-threshold batches must take the no-op branch (identical result)
+    good = QPSolverParams(rescue_threshold=1e-3)
+    no_rescue = QPSolverParams(rescue_threshold=0.0)
+    sa, ia = qp.solve_batched(data, warm, good)
+    sb, ib = qp.solve_batched(data, warm, no_rescue)
+    assert float(jnp.max(ib.kkt_residual)) < 1e-3  # default budget is enough
+    np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x), rtol=0, atol=0)

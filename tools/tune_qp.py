@@ -40,6 +40,10 @@ from quadrupedwholebodycontroller_tpu.planner import gait
 
 CONFIGS = {
     "default": QPSolverParams(),
+    # f32 tail-rescue A/B (VERDICT r1 item 5): default has
+    # rescue_threshold=3e-3; this isolates its cost/benefit
+    "norescue": QPSolverParams(rescue_threshold=0.0),
+    "rescue_1e3": QPSolverParams(rescue_threshold=1e-3),
     "warm3": QPSolverParams(ns_warm_iters=3),
     "warm3_fast": QPSolverParams(
         ns_warm_iters=3, scaling_iters=5, iterations=60, polish_refine=3
