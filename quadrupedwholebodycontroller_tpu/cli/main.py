@@ -205,6 +205,116 @@ def cmd_teleop_replay(args):
     _finish(args, trace, s["cp"])
 
 
+def cmd_teleop(args):
+    """Live teleoperation: keyboard/stdin command source driving a running
+    closed-loop rollout — the reference's Qt slider GUI publishing Twists at
+    10 Hz + on-change (src/teleop_gui_node.cpp:10-82), redesigned for a
+    terminal + XLA: the sim advances in jitted 100 ms segments (one 10 Hz
+    teleop tick = `loop_rate/10` control steps, command zero-order-held
+    across the segment), and between segments the command is updated from
+    whatever arrived on stdin.
+
+    Keys (single keystroke on a TTY; one per line when piped):
+      w/s  vx +/- 0.1 m/s      a/d  vy +/- 0.05 m/s
+      q/e  wz +/- 0.1 rad/s    x/space  full stop
+      p    quit (also EOF or --seconds elapsed)
+    """
+    import select
+
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.sim.rollout import (
+        closed_loop_rollout,
+        init_rollout_carry,
+    )
+
+    s = _setup(args)
+    rate = 10.0  # teleop tick rate (reference: publishVel QTimer at 100 ms)
+    seg = max(1, int(round(s["cp"].loop_rate / rate)))
+    carry = init_rollout_carry(s["model"], s["cp"], s["pp"], dtype=s["dtype"])
+    fn = jax.jit(
+        lambda c, x: closed_loop_rollout(s["model"], s["cp"], s["pp"], s["qp"], s["sp"], c, x)
+    )
+
+    is_tty = sys.stdin.isatty()
+    if is_tty:
+        import termios
+        import tty
+
+        fd = sys.stdin.fileno()
+        saved = termios.tcgetattr(fd)
+        tty.setcbreak(fd)
+
+    def poll_keys():
+        """TTY: drain every waiting keystroke.  Piped: consume exactly ONE
+        line per tick (a scripted session advances one command per tick;
+        empty line = hold current command), EOF = quit."""
+        if not is_tty:
+            line = sys.stdin.readline()
+            if line == "":
+                return ["p"]
+            return list(line.strip())
+        keys = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "":
+                keys.append("p")  # EOF = quit
+                break
+            ch = ch.strip("\n\r")
+            if ch:
+                keys.append(ch)
+        return keys
+
+    vmax = dict(vx=0.8, vy=0.4, wz=0.6)  # slider ranges, teleop_gui_node.cpp
+    cmd = np.zeros(3)
+    traces = []
+    n_ticks = int(args.seconds * rate) if args.seconds > 0 else 10**9
+    t0 = time.time()
+    try:
+        print(f"teleop: w/s=vx a/d=vy q/e=wz x=stop p=quit "
+              f"(tick {1000/rate:.0f} ms = {seg} control steps)")
+        for tick in range(n_ticks):
+            quit_ = False
+            for k in poll_keys():
+                if k in ("w", "s"):
+                    cmd[0] += 0.1 if k == "w" else -0.1
+                elif k in ("a", "d"):
+                    cmd[1] += 0.05 if k == "a" else -0.05
+                elif k in ("q", "e"):
+                    cmd[2] += 0.1 if k == "q" else -0.1
+                elif k in ("x", " "):
+                    cmd[:] = 0.0
+                elif k == "p":
+                    quit_ = True
+            if quit_:
+                break
+            cmd[0] = np.clip(cmd[0], -vmax["vx"], vmax["vx"])
+            cmd[1] = np.clip(cmd[1], -vmax["vy"], vmax["vy"])
+            cmd[2] = np.clip(cmd[2], -vmax["wz"], vmax["wz"])
+            cmds = jnp.broadcast_to(jnp.asarray(cmd, s["dtype"]), (seg, 3))
+            carry, trace = fn(carry, cmds)
+            traces.append(jax.tree.map(np.asarray, trace))
+            com = traces[-1].com_pos[-1]
+            print(
+                f"\r t={(tick + 1) / rate:6.1f}s cmd=[{cmd[0]:+.2f} {cmd[1]:+.2f} "
+                f"{cmd[2]:+.2f}] com=[{com[0]:+.3f} {com[1]:+.3f} {com[2]:.3f}] ",
+                end="", flush=True,
+            )
+    finally:
+        if is_tty:
+            termios.tcsetattr(fd, termios.TCSADRAIN, saved)
+    wall = time.time() - t0
+    print()
+    if not traces:
+        print("no ticks ran")
+        return
+    trace = jax.tree.map(lambda *xs: np.concatenate(xs), *traces)
+    sim_s = trace.com_pos.shape[0] / s["cp"].loop_rate
+    print(f"teleop {sim_s:.1f}s sim in {wall:.1f}s wall ({sim_s / wall:.2f}x realtime)")
+    _finish(args, trace, s["cp"])
+
+
 def cmd_sweep(args):
     import jax
     import jax.numpy as jnp
@@ -335,6 +445,8 @@ def main(argv=None):
     p = sub.add_parser("teleop-replay"); _common(p)
     p.add_argument("stream", help="CSV of t,vx,vy,wz")
     p.set_defaults(fn=cmd_teleop_replay)
+    p = sub.add_parser("teleop"); _common(p)
+    p.set_defaults(fn=cmd_teleop)
     p = sub.add_parser("sweep"); _common(p)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)

@@ -56,3 +56,22 @@ def test_inspect_cli(tmp_path, capsys):
     assert "total_mass=51.6357" in out
     assert "frame LH_FOOT" in out
     assert os.path.exists(out_png)
+
+
+def test_teleop_live_cli(tmp_path, monkeypatch, capsys):
+    """Live teleop (reference teleop_gui_node.cpp): a scripted stdin session
+    (one key per 100 ms tick, ZOH between ticks) must steer the robot and
+    record a trace."""
+    import io
+
+    trace = str(tmp_path / "teleop.npz")
+    # 4x vx+=0.1, hold 8 ticks, stop, hold 2, quit
+    script = "w\nw\nw\nw\n" + "\n" * 8 + "x\n\n\np\n"
+    monkeypatch.setattr(sys, "stdin", io.StringIO(script))
+    cli.main(["teleop", "--seconds", "10", "--dtype", "float64", "--save", trace])
+    out = capsys.readouterr().out
+    assert "cmd=[+0.40" in out          # keys accumulated to 0.4 m/s
+    assert "x realtime" in out
+    assert os.path.exists(trace)
+    d = np.load(trace)
+    assert d["com_pos"].shape[0] == 15 * 40  # 15 ticks before 'p'
