@@ -51,6 +51,8 @@ class RolloutTrace(NamedTuple):
     grf: jax.Array         # (T, 12)
     foot_pos: jax.Array    # (T, 12)
     ref_com_pose: jax.Array  # (T, 6)
+    ref_swing_pos: jax.Array  # (T, 12) planner swing-foot targets (the
+                              # marker_publisher.cpp:12-39 sphere channel)
     contacts: jax.Array    # (T, 4)
     qp_kkt: jax.Array      # (T,)
 
@@ -142,6 +144,7 @@ def rollout(
             grf=out.grf,
             foot_pos=out.foot_pos,
             ref_com_pose=ref.com_pose,
+            ref_swing_pos=ref.swing_pos,
             contacts=ref.contacts,
             qp_kkt=out.qp_info.kkt_residual,
         )
@@ -272,6 +275,7 @@ def batched_rollout(
             grf=out.grf,
             foot_pos=out.foot_pos,
             ref_com_pose=ref.com_pose,
+            ref_swing_pos=ref.swing_pos,
             contacts=ref.contacts,
             qp_kkt=jnp.where(alive_new, out.qp_info.kkt_residual, 0.0),
         )

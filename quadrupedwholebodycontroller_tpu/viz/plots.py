@@ -97,27 +97,44 @@ def plot_run(arrs: dict, skip_seconds: float = 3.0, control_rate: float = 400.0,
     return fig
 
 
-def plot_footprints(arrs: dict, out_path: str | None = None, show: bool = False):
-    """Top-down body path + footstep markers — the RViz marker-publisher
-
-    analogue (reference src/marker_publisher.cpp draws the desired body
-    rectangle and swing-foot spheres; here we draw the realized path and
-    stance footprints from the trace)."""
+def plot_footprints(arrs: dict, out_path: str | None = None, show: bool = False,
+                    body_every_s: float = 0.5, control_rate: float = 400.0):
+    """Top-down reference-vs-realized view — the RViz marker-publisher
+    analogue (reference src/marker_publisher.cpp): the planner's DESIRED
+    body rectangle (0.55 x 0.35, yaw-oriented, cpp:47-75) and swing-foot
+    targets (red spheres, cpp:12-39) drawn over the realized CoM path and
+    stance footprints, so commanded and achieved motion are visible in one
+    figure."""
     import matplotlib
 
     if not show:
         matplotlib.use("Agg")
     import matplotlib.pyplot as plt
+    from matplotlib.patches import Rectangle
+    from matplotlib.transforms import Affine2D
     import numpy as np
 
     fig, ax = plt.subplots(figsize=(8, 6))
     com = arrs["com_pose"]
     ax.plot(com[:, 0], com[:, 1], "k-", lw=1.2, label="CoM path")
     ref = arrs.get("ref_com_pose")
+    contacts = arrs.get("contacts")
     if ref is not None:
         ax.plot(ref[:, 0], ref[:, 1], "k--", lw=0.8, label="reference")
+        # desired body rectangles (marker_publisher.cpp draw_rectangle:
+        # 0.55 x 0.35 cube at the desired CoM pose, rotated by desired yaw)
+        rate = float(arrs.get("control_rate", control_rate))
+        stride = max(1, int(body_every_s * rate))
+        for k in range(0, len(ref), stride):
+            x, y, yaw = ref[k, 0], ref[k, 1], ref[k, 5]
+            r = Rectangle(
+                (x - 0.275, y - 0.175), 0.55, 0.35,
+                fill=False, ec="tab:blue", lw=0.7, alpha=0.6,
+                transform=Affine2D().rotate_around(x, y, yaw) + ax.transData,
+            )
+            ax.add_patch(r)
+        ax.plot([], [], color="tab:blue", lw=0.7, label="desired body")
     feet = arrs["foot_pos"].reshape(len(com), 4, 3)
-    contacts = arrs.get("contacts")
     colors = ["tab:red", "tab:blue", "tab:green", "tab:orange"]
     for leg, (name, c) in enumerate(zip(LEG_NAMES, colors)):
         if contacts is not None:
@@ -128,6 +145,14 @@ def plot_footprints(arrs: dict, out_path: str | None = None, show: bool = False)
             feet[stance, leg, 0], feet[stance, leg, 1], ".", ms=2,
             color=c, label=f"{name} stance",
         )
+    # desired swing-foot targets (the red-sphere channel)
+    swing_ref = arrs.get("ref_swing_pos")
+    if swing_ref is not None and contacts is not None:
+        sw = swing_ref.reshape(len(com), 4, 3)
+        pts = sw[contacts < 0.5]  # (num_swing_samples, 3)
+        if len(pts):
+            ax.plot(pts[:, 0], pts[:, 1], "o", ms=3, mfc="none",
+                    color="red", alpha=0.5, label="swing target")
     ax.set_aspect("equal")
     ax.set_xlabel("x [m]"); ax.set_ylabel("y [m]")
     ax.legend(fontsize=7)

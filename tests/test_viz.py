@@ -40,3 +40,31 @@ def test_plot_roundtrip(tmp_path):
     fp = str(tmp_path / "fp.png")
     plots.plot_footprints(arrs, out_path=fp)
     assert os.path.getsize(fp) > 10000
+
+
+def test_footprints_reference_markers(tmp_path):
+    """The desired-reference channel (marker_publisher.cpp:12-75): body
+    rectangles + swing-foot targets must render when the trace carries
+    ref_swing_pos/contacts."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    T = 40
+    rng = np.random.default_rng(0)
+    arrs = dict(
+        com_pose=np.cumsum(rng.normal(scale=0.002, size=(T, 6)), axis=0),
+        ref_com_pose=np.zeros((T, 6)),
+        foot_pos=rng.normal(scale=0.3, size=(T, 12)),
+        ref_swing_pos=rng.normal(scale=0.3, size=(T, 12)),
+        contacts=np.tile([1.0, 0.0, 1.0, 1.0], (T, 1)),
+        control_rate=np.asarray(400.0),
+    )
+    fp = str(tmp_path / "fp.png")
+    fig = plots.plot_footprints(arrs, out_path=fp)
+    labels = [t.get_text() for t in fig.legends[0].get_texts()] if fig.legends else [
+        t.get_text() for t in fig.axes[0].get_legend().get_texts()
+    ]
+    assert "desired body" in labels and "swing target" in labels
+    import os
+
+    assert os.path.exists(fp)
