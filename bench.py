@@ -58,6 +58,73 @@ def perturbed_standing_obs(batch, dtype):
     )
 
 
+def make_evolving_step(model, cp, qp, batch, backend, dtype=jnp.float32):
+    """The evolving-replay multi-step: a jitted scan over the recorded
+    walking trajectory with per-scenario constant state offsets.  Returns
+    (multi_step(carry, cache, valid) -> (carry, cache, tau_sums, max_kkts),
+    scan_len).  Shared by bench.py and tools/tune_rescue.py."""
+    traj = np.load(TRAJ_PATH)
+    scan_len = traj["base_R"].shape[0]
+    xs_obs = wbc.RobotObservation(
+        **{k: jnp.asarray(traj[k], dtype)
+           for k in ("base_R", "base_p", "base_vel", "q", "qd")}
+    )
+    xs_ref = wbc.Reference(
+        **{k: jnp.asarray(traj[k], dtype)
+           for k in ("com_pose", "com_vel", "com_acc", "swing_pos",
+                     "swing_vel", "swing_acc", "contacts")}
+    )
+    xs_new = jnp.asarray(traj["ref_is_new"])
+    # per-scenario constant state offsets: scenarios stay distinct
+    # problems while replaying the same commanded gait (a sweep's shape)
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d_obs = dict(
+        base_p=0.01 * jax.random.normal(k1, (batch, 3), dtype),
+        base_vel=0.02 * jax.random.normal(k2, (batch, 6), dtype),
+        q=0.02 * jax.random.normal(k3, (batch, 12), dtype),
+        qd=0.05 * jax.random.normal(k4, (batch, 12), dtype),
+    )
+
+    def make_step_inputs(o_t, r_t):
+        obs_b = wbc.RobotObservation(
+            base_R=jnp.broadcast_to(o_t.base_R, (batch, 3, 3)),
+            base_p=o_t.base_p + d_obs["base_p"],
+            base_vel=o_t.base_vel + d_obs["base_vel"],
+            q=o_t.q + d_obs["q"],
+            qd=o_t.qd + d_obs["qd"],
+        )
+        ref_b = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), r_t
+        )
+        return obs_b, ref_b
+
+    @jax.jit
+    def multi_step(carry, cache, valid):
+        def body(cc, xs):
+            c, cache = cc
+            o_t, r_t, new_t = xs
+            obs_b, ref_b = make_step_inputs(o_t, r_t)
+            if cache is not None:
+                out, c2, cache2 = wbc.wbc_step_batched(
+                    model, cp, qp, obs_b, ref_b, c, new_t, backend,
+                    cache, valid,
+                )
+            else:
+                out, c2 = wbc.wbc_step_batched(
+                    model, cp, qp, obs_b, ref_b, c, new_t, backend
+                )
+                cache2 = None
+            return (c2, cache2), (jnp.sum(out.tau),
+                                  jnp.max(out.qp_info.kkt_residual))
+        (c2, cache), (ts, kk) = jax.lax.scan(
+            body, (carry, cache), (xs_obs, xs_ref, xs_new)
+        )
+        return c2, cache, ts, kk
+
+    return multi_step, scan_len
+
+
 def main():
     mode = os.environ.get("QWBC_BENCH_MODE", "evolving")
     batch = int(os.environ.get("QWBC_BENCH_BATCH", "8192"))
@@ -77,64 +144,9 @@ def main():
     carry = jax.tree.map(lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype))
 
     if mode == "evolving":
-        traj = np.load(TRAJ_PATH)
-        scan_len = traj["base_R"].shape[0]
-        xs_obs = wbc.RobotObservation(
-            **{k: jnp.asarray(traj[k], dtype)
-               for k in ("base_R", "base_p", "base_vel", "q", "qd")}
+        multi_step, scan_len = make_evolving_step(
+            model, cp, qp, batch, backend, dtype
         )
-        xs_ref = wbc.Reference(
-            **{k: jnp.asarray(traj[k], dtype)
-               for k in ("com_pose", "com_vel", "com_acc", "swing_pos",
-                         "swing_vel", "swing_acc", "contacts")}
-        )
-        xs_new = jnp.asarray(traj["ref_is_new"])
-        # per-scenario constant state offsets: scenarios stay distinct
-        # problems while replaying the same commanded gait (a sweep's shape)
-        key = jax.random.PRNGKey(1)
-        k1, k2, k3, k4 = jax.random.split(key, 4)
-        d_obs = dict(
-            base_p=0.01 * jax.random.normal(k1, (batch, 3), dtype),
-            base_vel=0.02 * jax.random.normal(k2, (batch, 6), dtype),
-            q=0.02 * jax.random.normal(k3, (batch, 12), dtype),
-            qd=0.05 * jax.random.normal(k4, (batch, 12), dtype),
-        )
-
-        def make_step_inputs(o_t, r_t):
-            obs_b = wbc.RobotObservation(
-                base_R=jnp.broadcast_to(o_t.base_R, (batch, 3, 3)),
-                base_p=o_t.base_p + d_obs["base_p"],
-                base_vel=o_t.base_vel + d_obs["base_vel"],
-                q=o_t.q + d_obs["q"],
-                qd=o_t.qd + d_obs["qd"],
-            )
-            ref_b = jax.tree.map(
-                lambda x: jnp.broadcast_to(x, (batch,) + x.shape), r_t
-            )
-            return obs_b, ref_b
-
-        @jax.jit
-        def multi_step(carry, cache, valid):
-            def body(cc, xs):
-                c, cache = cc
-                o_t, r_t, new_t = xs
-                obs_b, ref_b = make_step_inputs(o_t, r_t)
-                if cache is not None:
-                    out, c2, cache2 = wbc.wbc_step_batched(
-                        model, cp, qp, obs_b, ref_b, c, new_t, backend,
-                        cache, valid,
-                    )
-                else:
-                    out, c2 = wbc.wbc_step_batched(
-                        model, cp, qp, obs_b, ref_b, c, new_t, backend
-                    )
-                    cache2 = None
-                return (c2, cache2), (jnp.sum(out.tau),
-                                      jnp.max(out.qp_info.kkt_residual))
-            (c2, cache), (ts, kk) = jax.lax.scan(
-                body, (carry, cache), (xs_obs, xs_ref, xs_new)
-            )
-            return c2, cache, ts, kk
     else:  # fixed
         scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "50"))
         obs = perturbed_standing_obs(batch, dtype)

@@ -148,6 +148,7 @@ class QPSolverParams:
     # (typical) steps where every scenario is already below threshold.
     rescue_threshold: float = 3e-3  # <= 0 disables
     rescue_iterations: int = 100
+    rescue_polish_rounds: int = 2
 
 
 def load_yaml_params(path: str):

@@ -349,7 +349,7 @@ def _rescue_solver_params(params: QPSolverParams) -> QPSolverParams:
     return dataclasses.replace(
         params,
         iterations=params.rescue_iterations,
-        polish_rounds=max(2, params.polish_rounds),
+        polish_rounds=max(params.rescue_polish_rounds, params.polish_rounds),
         rescue_threshold=0.0,
     )
 

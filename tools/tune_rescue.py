@@ -1,0 +1,77 @@
+#!/usr/bin/env python3
+"""In-process A/B of tail-rescue budgets on the evolving walking replay.
+
+The rescue fires whenever ANY scenario's relative KKT exceeds the
+threshold, and at B=8192 that happens on a sizable fraction of replay
+steps — so its budget (extra ADMM iterations, polish rounds) sets the
+headline cost.  This tool reruns bench.py's evolving scan for each budget
+in ONE process (the only comparison that resolves <1 ms effects on the
+shared chip, see CLAUDE.md).
+
+    python tools/tune_rescue.py [B]
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from quadrupedwholebodycontroller_tpu.config import ControllerParams, QPSolverParams
+from quadrupedwholebodycontroller_tpu.control import wbc
+from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+from quadrupedwholebodycontroller_tpu.ops import qp as qpm
+
+from bench import make_evolving_step  # noqa: E402
+
+REPS = 3
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
+    dtype = jnp.float32
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams()
+    backend = "pallas" if jax.default_backend() != "cpu" else "xla"
+
+    base = QPSolverParams()
+    configs = {
+        "off": dataclasses.replace(base, rescue_threshold=0.0),
+        "default_it100_r2": base,
+        "it60_r2": dataclasses.replace(base, rescue_iterations=60),
+        "it40_r1": dataclasses.replace(
+            base, rescue_iterations=40, rescue_polish_rounds=1
+        ),
+        "thr5e3_it100_r2": dataclasses.replace(base, rescue_threshold=5e-3),
+    }
+
+    carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    cache0 = qpm.QPCache.zeros(B, 42, 70, dtype) if backend == "pallas" else None
+
+    results = {}
+    for name, qp in configs.items():
+        multi_step, scan_len = make_evolving_step(model, cp, qp, B, backend, dtype)
+        carry, cache, ts, kk = multi_step(carry0, cache0, False)
+        jax.block_until_ready(ts)
+        times = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            carry, cache, ts, kk = multi_step(carry, cache, True)
+            jax.block_until_ready(ts)
+            times.append((time.perf_counter() - t0) / scan_len)
+        times.sort()
+        sps = B / times[len(times) // 2]
+        results[name] = {
+            "solves_per_s": round(sps, 1),
+            "max_kkt": float(jnp.max(kk)),
+        }
+        print(json.dumps({"config": name, **results[name]}), flush=True)
+    print(json.dumps({"B": B, "results": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
