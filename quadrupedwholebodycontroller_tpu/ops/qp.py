@@ -709,9 +709,63 @@ def solve_batched(
         du_b = jnp.where(ok, du_p, du_b)
         res_b = jnp.where(ok, res_p, res_b)
         polished = polished | ok
-    info = QPInfo(pr_b, du_b, res_b, polished)
     if params.rescue_threshold > 0:
-        best, info = _rescue_batched(data, best, info, params, backend, hinv_fn)
+        # in-scope tail rescue (the pallas-path form of _rescue_batched):
+        # the flagged problem is ALREADY scaled with K^-1 resident, so the
+        # rescue just continues the ADMM recursion from the best iterate
+        # and re-polishes with a cold Schur inverse — no re-prepare, no
+        # re-K^-1 (the generic nested re-solve cost ~2x a full step; this
+        # costs ~a fraction of one).  Fires via a batch-level lax.cond.
+        def _rescue(args):
+            best, pr_b, du_b, res_b, polished = args
+            x, z, y, pr_c, du_c = run_admm(
+                best.x / dscale, best.z * escale, best.y / escale,
+                params.rescue_iterations,
+            )
+            cand = QPState(x=dscale * x, z=z / escale, y=escale * y)
+            res_c = jnp.maximum(pr_c, du_c)
+            res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
+            ok = res_c <= res_b
+            oke = ok[:, None]
+            best = QPState(
+                x=jnp.where(oke, cand.x, best.x),
+                z=jnp.where(oke, cand.z, best.z),
+                y=jnp.where(oke, cand.y, best.y),
+            )
+            pr_b = jnp.where(ok, pr_c, pr_b)
+            du_b = jnp.where(ok, du_c, du_b)
+            res_b = jnp.where(ok, res_c, res_b)
+            if params.polish:
+                def sinv_cold(S_thunk):
+                    return ns_inverse(S_thunk(), params.ns_iters)
+
+                for _ in range(params.rescue_polish_rounds):
+                    pol, _, pr_p, du_p = _polish_batched_kernel(
+                        data, best, params, H_polish, Hinv_polish,
+                        sinv_cold, G2=G2_pol, tiles=tiles_pol,
+                    )
+                    res_p = jnp.maximum(pr_p, du_p)
+                    res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
+                    ok = res_p <= res_b
+                    oke = ok[:, None]
+                    best = QPState(
+                        x=jnp.where(oke, pol.x, best.x),
+                        z=jnp.where(oke, pol.z, best.z),
+                        y=jnp.where(oke, pol.y, best.y),
+                    )
+                    pr_b = jnp.where(ok, pr_p, pr_b)
+                    du_b = jnp.where(ok, du_p, du_b)
+                    res_b = jnp.where(ok, res_p, res_b)
+                    polished = polished | ok
+            return best, pr_b, du_b, res_b, polished
+
+        best, pr_b, du_b, res_b, polished = jax.lax.cond(
+            jnp.any(res_b > params.rescue_threshold),
+            _rescue,
+            lambda args: args,
+            (best, pr_b, du_b, res_b, polished),
+        )
+    info = QPInfo(pr_b, du_b, res_b, polished)
     if cache is not None:
         new_cache = QPCache(
             kinv=Kinv,
