@@ -431,6 +431,22 @@ def cmd_plot(args):
     print("plot ->", args.out)
 
 
+def cmd_replay(args):
+    """Offline 3-D replay of a saved trace to an animated GIF — the RViz
+    live-view analogue for this headless environment."""
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.viz import plots
+
+    arrs = plots.load_trace(args.trace)
+    model = anymal_d_model(dtype=jnp.float64)
+    plots.render_replay(
+        arrs, model, args.out, every=args.every, max_frames=args.max_frames
+    )
+    print("replay ->", args.out)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="qwbc")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -456,6 +472,11 @@ def main(argv=None):
     p.add_argument("trace"); p.add_argument("--out", default="run.png")
     p.add_argument("--skip", type=float, default=3.0)
     p.set_defaults(fn=cmd_plot)
+    p = sub.add_parser("replay")
+    p.add_argument("trace"); p.add_argument("--out", default="replay.gif")
+    p.add_argument("--every", type=int, default=8)
+    p.add_argument("--max-frames", type=int, default=120)
+    p.set_defaults(fn=cmd_replay)
     p = sub.add_parser("inspect")
     p.add_argument("--q", default="", help="12 comma-separated joint angles (rad)")
     p.add_argument("--z", type=float, default=0.6, help="base height")

@@ -97,6 +97,94 @@ def plot_run(arrs: dict, skip_seconds: float = 3.0, control_rate: float = 400.0,
     return fig
 
 
+def render_replay(arrs: dict, model, out_path: str, every: int = 8,
+                  control_rate: float = 400.0, max_frames: int = 120,
+                  elev: float = 18.0, azim: float = -60.0):
+    """Offline 3-D replay of a saved trace — the RViz live-view analogue
+    (reference launch/standalone.launch RViz + robot_state_publisher; this
+    environment is headless, so the replay renders to an animated GIF).
+
+    Reconstructs full kinematics per frame from the trace (q + base pose;
+    base orientation from the logged rpy) and draws the skeleton, feet and
+    the desired-vs-realized CoM.  `every` subsamples control steps
+    (default 8 → 50 fps of sim time at 400 Hz)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.animation import FuncAnimation, PillowWriter
+
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.ops import kinematics as K
+    from quadrupedwholebodycontroller_tpu.ops import spatial
+
+    rate = float(arrs.get("control_rate", control_rate))
+    T = arrs["q"].shape[0]
+    idx = np.arange(0, T, every)[:max_frames]
+    dtype = jnp.float64
+
+    def fk(k):
+        rpy = arrs["com_pose"][k, 3:6]
+        R = np.asarray(spatial.rpy_to_matrix(jnp.asarray(rpy, dtype)))
+        kin = K.forward_kinematics(
+            model.astype(dtype), jnp.asarray(R, dtype),
+            jnp.asarray(arrs["base_p"][k], dtype),
+            jnp.asarray(arrs["q"][k], dtype),
+        )
+        return np.asarray(kin.body_p), np.asarray(kin.frame_p)
+
+    frames = [fk(k) for k in idx]
+    com = arrs["com_pose"]
+    ref = arrs.get("ref_com_pose")
+
+    fig = plt.figure(figsize=(8, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    all_bp = np.concatenate([f[0] for f in frames])
+    ax.set_xlim(all_bp[:, 0].min() - 0.4, all_bp[:, 0].max() + 0.4)
+    ax.set_ylim(all_bp[:, 1].min() - 0.4, all_bp[:, 1].max() + 0.4)
+    ax.set_zlim(0.0, 0.9)
+    ax.view_init(elev=elev, azim=azim)
+    n_feet = len(model.frame_body)
+    bones = [
+        ax.plot([], [], [], "o-", color="tab:blue", ms=3, lw=1.5)[0]
+        for _ in range(1, model.num_bodies)
+    ] + [
+        ax.plot([], [], [], "-", color="tab:blue", lw=1.5)[0]
+        for _ in range(n_feet)  # shank -> foot frame segments
+    ]
+    feet_pts = ax.plot([], [], [], "o", color="tab:red", ms=5)[0]
+    com_line = ax.plot([], [], [], "k-", lw=1.0, label="CoM")[0]
+    if ref is not None:
+        ax.plot(ref[:, 0], ref[:, 1], ref[:, 2], "k--", lw=0.7, label="reference")
+    title = ax.set_title("")
+    ax.legend(fontsize=7)
+
+    def update(i):
+        bp, fp = frames[i]
+        k = idx[i]
+        for b in range(1, model.num_bodies):
+            pa, pb = bp[model.parent[b]], bp[b]
+            bones[b - 1].set_data([pa[0], pb[0]], [pa[1], pb[1]])
+            bones[b - 1].set_3d_properties([pa[2], pb[2]])
+        for f in range(n_feet):
+            pa, pb = bp[model.frame_body[f]], fp[f]
+            line = bones[model.num_bodies - 1 + f]
+            line.set_data([pa[0], pb[0]], [pa[1], pb[1]])
+            line.set_3d_properties([pa[2], pb[2]])
+        feet_pts.set_data(fp[:, 0], fp[:, 1])
+        feet_pts.set_3d_properties(fp[:, 2])
+        com_line.set_data(com[:k + 1, 0], com[:k + 1, 1])
+        com_line.set_3d_properties(com[:k + 1, 2])
+        title.set_text(f"t = {k / rate:.2f} s")
+        return bones + [feet_pts, com_line, title]
+
+    anim = FuncAnimation(fig, update, frames=len(frames), blit=False)
+    anim.save(out_path, writer=PillowWriter(fps=max(1, int(rate / every / 2))))
+    plt.close(fig)
+    return out_path
+
+
 def plot_footprints(arrs: dict, out_path: str | None = None, show: bool = False,
                     body_every_s: float = 0.5, control_rate: float = 400.0):
     """Top-down reference-vs-realized view — the RViz marker-publisher

@@ -75,3 +75,19 @@ def test_teleop_live_cli(tmp_path, monkeypatch, capsys):
     assert os.path.exists(trace)
     d = np.load(trace)
     assert d["com_pos"].shape[0] == 15 * 40  # 15 ticks before 'p'
+
+
+def test_replay_cli(tmp_path):
+    """Offline 3-D replay (the RViz live-view analogue, A14): a saved trace
+    renders to an animated GIF with full per-frame FK."""
+    trace = str(tmp_path / "t.npz")
+    gif = str(tmp_path / "replay.gif")
+    cli.main(["standing", "--seconds", "0.2", "--dtype", "float64",
+              "--save", trace])
+    cli.main(["replay", trace, "--out", gif, "--every", "20",
+              "--max-frames", "4"])
+    assert os.path.exists(gif)
+    from PIL import Image
+
+    im = Image.open(gif)
+    assert im.n_frames == 4
