@@ -42,7 +42,11 @@ def main():
     dtype = jnp.float32
     model = anymal_d_model(dtype=dtype)
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
-    qp = QPSolverParams()
+    # rescue off: some frozen perturbed-standing scenarios sit permanently
+    # above the threshold, so the rescue would fire EVERY step and swamp
+    # the setup-path costs this tool isolates (deltas stay valid either
+    # way — same-process A/B — but absolutes get inflated ~5x)
+    qp = QPSolverParams(rescue_threshold=0.0)
 
     key = jax.random.PRNGKey(0)
     k1, k2, k3, k4 = jax.random.split(key, 4)
