@@ -148,6 +148,13 @@ def main():
             model, cp, qp, batch, backend, dtype
         )
     else:  # fixed
+        # rescue off: the frozen-problem mode exists as the warm path's
+        # best-case comparison row, and a few permanently-above-threshold
+        # perturbed-standing scenarios would otherwise fire the rescue
+        # every step (the evolving default keeps the rescue ON)
+        import dataclasses
+
+        qp = dataclasses.replace(qp, rescue_threshold=0.0)
         scan_len = int(os.environ.get("QWBC_BENCH_SCAN", "50"))
         obs = perturbed_standing_obs(batch, dtype)
         ref = jax.tree.map(
