@@ -147,10 +147,13 @@ class QPSolverParams:
     # improves.  Wrapped in a batch-level lax.cond: costs nothing on the
     # (typical) steps where every scenario is already below threshold.
     rescue_threshold: float = 3e-3  # <= 0 disables
-    rescue_iterations: int = 40   # on-chip tuned (tools/tune_rescue.py):
-    rescue_polish_rounds: int = 1  # 40/1 beats 100/2 on BOTH replay speed
-                                  # (262.6k vs 253.5k) and max KKT (2.71e-3
-                                  # vs 2.98e-3) with the in-scope rescue
+    rescue_iterations: int = 100  # on-chip tuned: with the cold-K^-1
+    rescue_polish_rounds: int = 2  # in-scope rescue, 100/2 matches 40/1 on
+                                  # replay speed (~240k, the cold NS
+                                  # dominates the fire cost) but holds the
+                                  # EXTREME-sweep tail at 3.2e-3 where 40/1
+                                  # leaves 6.8e-3 (tools/tune_rescue.py +
+                                  # tune_sweep.py rescue A/Bs)
 
 
 def load_yaml_params(path: str):

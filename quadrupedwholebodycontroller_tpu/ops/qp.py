@@ -514,18 +514,20 @@ def solve_batched(
         # applied in-kernel on the resident (A, Kinv) tiles — no P matrix
         # is ever built (the P-precompute variant cost ~1 ms/step in XLA
         # matmuls + the padded (B,70,70) round trip + its transpose)
-        def run_admm(x0, z0, y0, iters):
+        def run_admm(x0, z0, y0, iters, Ki=None):
             return qp_kernel.admm_zy_iterations_res(
-                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho,
+                Kinv if Ki is None else Ki,
+                sdata.A, sdata.g, sdata.l, sdata.u, rho,
                 x0, z0, y0, sdata.H, data.l, data.u, dscale, escale,
                 iters=iters, alpha=params.alpha,
             )
     else:
-        def run_admm(x0, z0, y0, iters):
+        def run_admm(x0, z0, y0, iters, Ki=None):
             # iterations + the candidate's unscaled relative KKT residuals in
             # one VMEM pass (ops/pallas/qp_kernel.admm_iterations_res)
             return qp_kernel.admm_iterations_res(
-                Kinv, sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
+                Kinv if Ki is None else Ki,
+                sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
                 sdata.H, data.l, data.u, dscale, escale,
                 iters=iters, sigma=params.sigma, alpha=params.alpha,
             )
@@ -718,9 +720,14 @@ def solve_batched(
         # costs ~a fraction of one).  Fires via a batch-level lax.cond.
         def _rescue(args):
             best, pr_b, du_b, res_b, polished = args
+            # COLD K^-1: a flagged scenario is often flagged precisely
+            # because the carried warm K^-1 went stale (tune_sweep exposed
+            # this: reusing the warm inverse left the extreme tail at
+            # 1.7e-2 where the cold one reaches ~3e-3)
+            Kinv_cold = ns_inverse(K, params.ns_iters)
             x, z, y, pr_c, du_c = run_admm(
                 best.x / dscale, best.z * escale, best.y / escale,
-                params.rescue_iterations,
+                params.rescue_iterations, Ki=Kinv_cold,
             )
             cand = QPState(x=dscale * x, z=z / escale, y=escale * y)
             res_c = jnp.maximum(pr_c, du_c)

@@ -44,6 +44,9 @@ CONFIGS = {
     # rescue_threshold=3e-3; this isolates its cost/benefit
     "norescue": QPSolverParams(rescue_threshold=0.0),
     "rescue_1e3": QPSolverParams(rescue_threshold=1e-3),
+    "rescue_it100_r2": QPSolverParams(
+        rescue_iterations=100, rescue_polish_rounds=2
+    ),
     "warm3": QPSolverParams(ns_warm_iters=3),
     "warm3_fast": QPSolverParams(
         ns_warm_iters=3, scaling_iters=5, iterations=60, polish_refine=3

@@ -39,14 +39,17 @@ def main():
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     base = QPSolverParams()
+    rb = lambda it, r, thr=3e-3: dataclasses.replace(
+        base, rescue_threshold=thr, rescue_iterations=it,
+        rescue_polish_rounds=r,
+    )
     configs = {
         "off": dataclasses.replace(base, rescue_threshold=0.0),
-        "default_it100_r2": base,
-        "it60_r2": dataclasses.replace(base, rescue_iterations=60),
-        "it40_r1": dataclasses.replace(
-            base, rescue_iterations=40, rescue_polish_rounds=1
-        ),
-        "thr5e3_it100_r2": dataclasses.replace(base, rescue_threshold=5e-3),
+        "default": base,
+        "it40_r1": rb(40, 1),
+        "it60_r1": rb(60, 1),
+        "it100_r2": rb(100, 2),
+        "thr5e3_it40_r1": rb(40, 1, thr=5e-3),
     }
 
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
