@@ -713,11 +713,11 @@ def solve_batched(
         polished = polished | ok
     if params.rescue_threshold > 0:
         # in-scope tail rescue (the pallas-path form of _rescue_batched):
-        # the flagged problem is ALREADY scaled with K^-1 resident, so the
-        # rescue just continues the ADMM recursion from the best iterate
-        # and re-polishes with a cold Schur inverse — no re-prepare, no
-        # re-K^-1 (the generic nested re-solve cost ~2x a full step; this
-        # costs ~a fraction of one).  Fires via a batch-level lax.cond.
+        # the flagged problem is ALREADY scaled, so the rescue skips the
+        # prepare stage entirely, recomputes ONLY a cold K^-1, continues
+        # the ADMM recursion from the best iterate, and re-polishes with a
+        # cold Schur inverse (the generic nested re-solve cost ~2x a full
+        # step).  Fires via a batch-level lax.cond.
         def _rescue(args):
             best, pr_b, du_b, res_b, polished = args
             # COLD K^-1: a flagged scenario is often flagged precisely
