@@ -61,8 +61,12 @@ def perturbed_standing_obs(batch, dtype):
 def make_evolving_step(model, cp, qp, batch, backend, dtype=jnp.float32):
     """The evolving-replay multi-step: a jitted scan over the recorded
     walking trajectory with per-scenario constant state offsets.  Returns
-    (multi_step(carry, cache, valid) -> (carry, cache, tau_sums, max_kkts),
-    scan_len).  Shared by bench.py and tools/tune_rescue.py."""
+    (multi_step(carry, cache, valid) -> (carry, cache, tau_sums, max_kkts,
+    n_flagged), scan_len) where n_flagged counts the scenarios whose FINAL
+    relative KKT still exceeds the rescue threshold each step (with the
+    rescue on this is the residual demand the rescue did not clear — the
+    compact rescue_batch must stay above the PRE-rescue count, measured
+    with rescue off).  Shared by bench.py and tools/tune_rescue.py."""
     traj = np.load(TRAJ_PATH)
     scan_len = traj["base_R"].shape[0]
     xs_obs = wbc.RobotObservation(
@@ -99,6 +103,8 @@ def make_evolving_step(model, cp, qp, batch, backend, dtype=jnp.float32):
         )
         return obs_b, ref_b
 
+    flag_thr = qp.rescue_threshold if qp.rescue_threshold > 0 else 3e-3
+
     @jax.jit
     def multi_step(carry, cache, valid):
         def body(cc, xs):
@@ -116,11 +122,12 @@ def make_evolving_step(model, cp, qp, batch, backend, dtype=jnp.float32):
                 )
                 cache2 = None
             return (c2, cache2), (jnp.sum(out.tau),
-                                  jnp.max(out.qp_info.kkt_residual))
-        (c2, cache), (ts, kk) = jax.lax.scan(
+                                  jnp.max(out.qp_info.kkt_residual),
+                                  jnp.sum(out.qp_info.kkt_residual > flag_thr))
+        (c2, cache), (ts, kk, cnt) = jax.lax.scan(
             body, (carry, cache), (xs_obs, xs_ref, xs_new)
         )
-        return c2, cache, ts, kk
+        return c2, cache, ts, kk, cnt
 
     return multi_step, scan_len
 
@@ -175,13 +182,14 @@ def main():
                     )
                     cache2 = None
                 return (c2, cache2), (jnp.sum(out.tau),
-                                      jnp.max(out.qp_info.kkt_residual))
-            (c2, cache), (ts, kk) = jax.lax.scan(
+                                      jnp.max(out.qp_info.kkt_residual),
+                                      jnp.zeros((), jnp.int32))
+            (c2, cache), (ts, kk, cnt) = jax.lax.scan(
                 body, (carry, cache), None, length=scan_len
             )
-            return c2, cache, ts, kk
+            return c2, cache, ts, kk, cnt
 
-    carry, cache, ts, kk = multi_step(carry, cache, False)
+    carry, cache, ts, kk, cnt = multi_step(carry, cache, False)
     jax.block_until_ready(ts)
 
     times = []
@@ -190,7 +198,7 @@ def main():
         # slightly-mismatched warm start per 200 steps, same as production
         # would see on any reference discontinuity
         t0 = time.perf_counter()
-        carry, cache, ts, kk = multi_step(carry, cache, True)
+        carry, cache, ts, kk, cnt = multi_step(carry, cache, True)
         jax.block_until_ready(ts)
         times.append((time.perf_counter() - t0) / scan_len)
     times.sort()
@@ -206,6 +214,10 @@ def main():
                 "vs_baseline": round(solves_per_s / 400.0, 2),
                 "mode": mode,
                 "max_kkt": float(jnp.max(kk)),
+                # scenarios whose FINAL KKT still exceeds the rescue
+                # threshold (worst step) — nonzero means the rescue budget
+                # or rescue_batch is undersized for this workload
+                "flagged_max": int(jnp.max(cnt)),
             }
         )
     )

@@ -154,6 +154,17 @@ class QPSolverParams:
                                   # EXTREME-sweep tail at 3.2e-3 where 40/1
                                   # leaves 6.8e-3 (tools/tune_rescue.py +
                                   # tune_sweep.py rescue A/Bs)
+    rescue_batch: int = 256       # compact the rescue to the top-k worst
+                                  # scenarios (jax.lax.top_k on the relative
+                                  # KKT): the cold K^-1 / extra ADMM / cold-
+                                  # Schur polish run on a gathered (k, ...)
+                                  # sub-batch and accepted improvements
+                                  # scatter back, so the fire cost is O(k)
+                                  # instead of O(B).  0 = full-batch rescue.
+                                  # Scenarios beyond the k worst keep their
+                                  # un-rescued result — size k above the
+                                  # per-step flagged count (measured with
+                                  # tools/tune_rescue.py)
 
 
 def load_yaml_params(path: str):

@@ -717,19 +717,36 @@ def solve_batched(
         # prepare stage entirely, recomputes ONLY a cold K^-1, continues
         # the ADMM recursion from the best iterate, and re-polishes with a
         # cold Schur inverse (the generic nested re-solve cost ~2x a full
-        # step).  Fires via a batch-level lax.cond.
-        def _rescue(args):
-            best, pr_b, du_b, res_b, polished = args
+        # step).  Fires via a batch-level lax.cond.  With rescue_batch > 0
+        # the whole rescue runs on a COMPACTED sub-batch of the top-k worst
+        # scenarios (gather -> rescue -> scatter), so the fire cost is O(k)
+        # instead of O(B) — only the k worst can be flagged anyway when k
+        # exceeds the flagged count.
+        def _rescue_core(best, pr_b, du_b, res_b, polished,
+                         K_, sA_, sg_, sl_, su_, rho_, sH_, lo_, uo_,
+                         d_, e_, data_, H_pol, Hinv_pol,
+                         G2=None, tiles=None):
             # COLD K^-1: a flagged scenario is often flagged precisely
             # because the carried warm K^-1 went stale (tune_sweep exposed
             # this: reusing the warm inverse left the extreme tail at
             # 1.7e-2 where the cold one reaches ~3e-3)
-            Kinv_cold = ns_inverse(K, params.ns_iters)
-            x, z, y, pr_c, du_c = run_admm(
-                best.x / dscale, best.z * escale, best.y / escale,
-                params.rescue_iterations, Ki=Kinv_cold,
-            )
-            cand = QPState(x=dscale * x, z=z / escale, y=escale * y)
+            Kinv_cold = ns_inverse(K_, params.ns_iters)
+            if params.sigma == 0.0:
+                x, z, y, pr_c, du_c = qp_kernel.admm_zy_iterations_res(
+                    Kinv_cold, sA_, sg_, sl_, su_, rho_,
+                    best.x / d_, best.z * e_, best.y / e_,
+                    sH_, lo_, uo_, d_, e_,
+                    iters=params.rescue_iterations, alpha=params.alpha,
+                )
+            else:
+                x, z, y, pr_c, du_c = qp_kernel.admm_iterations_res(
+                    Kinv_cold, sA_, sg_, sl_, su_, rho_,
+                    best.x / d_, best.z * e_, best.y / e_,
+                    sH_, lo_, uo_, d_, e_,
+                    iters=params.rescue_iterations, sigma=params.sigma,
+                    alpha=params.alpha,
+                )
+            cand = QPState(x=d_ * x, z=z / e_, y=e_ * y)
             res_c = jnp.maximum(pr_c, du_c)
             res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
             ok = res_c <= res_b
@@ -748,8 +765,8 @@ def solve_batched(
 
                 for _ in range(params.rescue_polish_rounds):
                     pol, _, pr_p, du_p = _polish_batched_kernel(
-                        data, best, params, H_polish, Hinv_polish,
-                        sinv_cold, G2=G2_pol, tiles=tiles_pol,
+                        data_, best, params, H_pol, Hinv_pol,
+                        sinv_cold, G2=G2, tiles=tiles,
                     )
                     res_p = jnp.maximum(pr_p, du_p)
                     res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
@@ -765,6 +782,51 @@ def solve_batched(
                     res_b = jnp.where(ok, res_p, res_b)
                     polished = polished | ok
             return best, pr_b, du_b, res_b, polished
+
+        kres = params.rescue_batch
+        compact_rescue = 0 < kres < res_b.shape[0]
+
+        def _rescue(args):
+            best, pr_b, du_b, res_b, polished = args
+            if not compact_rescue:
+                return _rescue_core(
+                    best, pr_b, du_b, res_b, polished,
+                    K, sdata.A, sdata.g, sdata.l, sdata.u, rho, sdata.H,
+                    data.l, data.u, dscale, escale,
+                    data, H_polish, Hinv_polish,
+                    G2=G2_pol, tiles=tiles_pol,
+                )
+            _, idx = jax.lax.top_k(res_b, kres)
+
+            def take(a):
+                return jnp.take(a, idx, axis=0)
+
+            def take_pol(t):
+                if t is None:
+                    return None
+                if isinstance(t, tuple):  # compact (diag, blk, start)
+                    return (take(t[0]), take(t[1]), t[2])
+                return take(t)
+
+            best_c = QPState(x=take(best.x), z=take(best.z), y=take(best.y))
+            data_c = QPData(H=take(data.H), g=take(data.g), A=take(data.A),
+                            l=take(data.l), u=take(data.u))
+            # G2/tiles are full-batch invariants — the compact polish
+            # re-derives them from the gathered data (cheap at k rows)
+            best_c, pr_c, du_c, res_c, pol_c = _rescue_core(
+                best_c, take(pr_b), take(du_b), take(res_b), take(polished),
+                take(K), take(sdata.A), take(sdata.g), take(sdata.l),
+                take(sdata.u), take(rho), take(sdata.H),
+                take(data.l), take(data.u), take(dscale), take(escale),
+                data_c, take_pol(H_polish), take_pol(Hinv_polish),
+            )
+            best = QPState(
+                x=best.x.at[idx].set(best_c.x),
+                z=best.z.at[idx].set(best_c.z),
+                y=best.y.at[idx].set(best_c.y),
+            )
+            return (best, pr_b.at[idx].set(pr_c), du_b.at[idx].set(du_c),
+                    res_b.at[idx].set(res_c), polished.at[idx].set(pol_c))
 
         best, pr_b, du_b, res_b, polished = jax.lax.cond(
             jnp.any(res_b > params.rescue_threshold),

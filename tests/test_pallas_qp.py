@@ -424,3 +424,141 @@ def test_polish_kernel_compact_matches_dense(rng):
     for name, a_, b_ in zip("xyz", dense[:3], compact[:3]):
         err = float(jnp.max(jnp.abs(a_ - b_)))
         assert err < 1e-6, (name, err)
+
+
+def _patch_interpret():
+    """Patch the pallas wrappers used by solve_batched into interpret mode;
+    returns a restore callable."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.polish_kernel as pk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.prepare_kernel as prk
+    import quadrupedwholebodycontroller_tpu.ops.pallas.qp_kernel as qk
+
+    orig = (qk.admm_zy_iterations_res, qk.admm_iterations_res,
+            pk.polish_solve, prk.prepare_scaled)
+    qk.admm_zy_iterations_res = functools.partial(orig[0], interpret=True)
+    qk.admm_iterations_res = functools.partial(orig[1], interpret=True)
+    pk.polish_solve = functools.partial(orig[2], interpret=True)
+    prk.prepare_scaled = functools.partial(orig[3], interpret=True)
+
+    def restore():
+        qk.admm_zy_iterations_res = orig[0]
+        qk.admm_iterations_res = orig[1]
+        pk.polish_solve = orig[2]
+        prk.prepare_scaled = orig[3]
+
+    return restore
+
+
+def test_compact_rescue_matches_full(rng):
+    """rescue_batch > 0 gathers the top-k worst scenarios, rescues them the
+    same way the full-batch rescue does, and leaves every other scenario's
+    result untouched (ops/qp.py pallas-path compact rescue)."""
+    import dataclasses
+
+    restore = _patch_interpret()
+    try:
+        B, n, m = 8, 8, 12
+        k = 3
+        data = make_batch(rng, B, n, m)
+        warm = jax.tree.map(
+            lambda x: jnp.stack([x] * B), qpm.QPState.zeros(n, m, jnp.float32)
+        )
+        # weak main solve so the rescue has room to improve
+        off = QPSolverParams(sigma=0.0, iterations=8, cold_iterations=8,
+                             rescue_threshold=0.0)
+        st0, inf0 = qpm.solve_batched(data, warm, off, backend="pallas")
+        # threshold below every residual -> the rescue cond always fires;
+        # with rescue_batch=k only the k worst scenarios are gathered
+        full = dataclasses.replace(
+            off, rescue_threshold=1e-12, rescue_iterations=60,
+            rescue_polish_rounds=1, rescue_batch=0)
+        comp = dataclasses.replace(full, rescue_batch=k)
+        st_f, inf_f = qpm.solve_batched(data, warm, full, backend="pallas")
+        st_c, inf_c = qpm.solve_batched(data, warm, comp, backend="pallas")
+
+        res0 = np.asarray(inf0.kkt_residual)
+        order = np.argsort(-res0)
+        top, rest = order[:k], order[k:]
+        # gathered rows reproduce the full-batch rescue (per-scenario math is
+        # batch-independent in the kernels; tolerance covers fusion order)
+        assert np.allclose(np.asarray(st_c.x)[top], np.asarray(st_f.x)[top],
+                           atol=1e-5)
+        assert np.allclose(np.asarray(inf_c.kkt_residual)[top],
+                           np.asarray(inf_f.kkt_residual)[top], atol=1e-6)
+        # non-gathered rows keep the rescue-off result
+        assert np.allclose(np.asarray(st_c.x)[rest], np.asarray(st0.x)[rest],
+                           atol=1e-7)
+        assert np.allclose(np.asarray(inf_c.kkt_residual)[rest], res0[rest],
+                           atol=1e-7)
+        # acceptance stays monotone everywhere
+        assert np.all(np.asarray(inf_c.kkt_residual) <= res0 + 1e-6)
+    finally:
+        restore()
+
+
+def test_compact_rescue_blockdiag_hinv(rng):
+    """The compact rescue gathers the compact block-diagonal (diag, blk,
+    start) polish operands correctly (the hinv_fn path wbc uses on TPU)."""
+    import dataclasses
+
+    from quadrupedwholebodycontroller_tpu.ops.qp import _blockdiag_dense
+
+    restore = _patch_interpret()
+    try:
+        B, n, m, kb, start = 8, 8, 12, 3, 2
+        k = 3
+        dtype = jnp.float32
+        rows = []
+        for _ in range(B):
+            dvec = rng.uniform(1.0, 3.0, size=n)
+            L = rng.normal(size=(kb, kb))
+            blk = L @ L.T + kb * np.eye(kb)
+            H = np.diag(dvec)
+            H[start:start + kb, start:start + kb] = blk
+            g = rng.normal(size=n)
+            A = rng.normal(size=(m, n))
+            x0 = rng.normal(size=n) * 0.3
+            ax = A @ x0
+            low = ax - rng.uniform(0.1, 1.0, size=m)
+            upp = ax + rng.uniform(0.1, 1.0, size=m)
+            low[:2] = ax[:2]; upp[:2] = ax[:2]
+            rows.append(qpm.QPData(*[jnp.asarray(v, dtype)
+                                     for v in (H, g, A, low, upp)]))
+        data = jax.tree.map(lambda *xs: jnp.stack(xs), *rows)
+        warm = jax.tree.map(
+            lambda x: jnp.stack([x] * B), qpm.QPState.zeros(n, m, dtype)
+        )
+
+        def hinv_fn(H, reg):
+            diag = jnp.diagonal(H, axis1=-2, axis2=-1) + reg
+            dinv = (1.0 / diag).at[:, start:start + kb].set(0.0)
+            blk = (H[:, start:start + kb, start:start + kb]
+                   + reg * jnp.eye(kb, dtype=H.dtype))
+            return (dinv, jnp.linalg.inv(blk), start)
+
+        off = QPSolverParams(sigma=0.0, iterations=8, cold_iterations=8,
+                             rescue_threshold=0.0)
+        st0, inf0 = qpm.solve_batched(data, warm, off, backend="pallas",
+                                      hinv_fn=hinv_fn)
+        comp = dataclasses.replace(
+            off, rescue_threshold=1e-12, rescue_iterations=60,
+            rescue_polish_rounds=1, rescue_batch=k)
+        st_c, inf_c = qpm.solve_batched(data, warm, comp, backend="pallas",
+                                        hinv_fn=hinv_fn)
+        res0 = np.asarray(inf0.kkt_residual)
+        order = np.argsort(-res0)
+        top, rest = order[:k], order[k:]
+        # acceptance monotone; untouched rows identical
+        assert np.all(np.asarray(inf_c.kkt_residual) <= res0 + 1e-6)
+        assert np.allclose(np.asarray(st_c.x)[rest], np.asarray(st0.x)[rest],
+                           atol=1e-7)
+        # the rescued rows still satisfy their own KKT system (sanity that
+        # the gathered compact operands belong to the right scenarios)
+        for b in top:
+            d = jax.tree.map(lambda v: v[int(b)], data)
+            pr, du = qpm.kkt_residual(d, st_c.x[int(b)], st_c.y[int(b)])
+            assert float(jnp.maximum(pr, du)) <= res0[int(b)] + 1e-6
+    finally:
+        restore()

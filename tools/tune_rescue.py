@@ -39,18 +39,23 @@ def main():
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     base = QPSolverParams()
-    rb = lambda it, r, thr=3e-3: dataclasses.replace(
+    rb = lambda it, r, thr=3e-3, k=0: dataclasses.replace(
         base, rescue_threshold=thr, rescue_iterations=it,
-        rescue_polish_rounds=r,
+        rescue_polish_rounds=r, rescue_batch=k,
     )
     configs = {
+        # "off" also measures the flagged-count DEMAND (max/mean scenarios
+        # above threshold per step) that sizes rescue_batch
         "off": dataclasses.replace(base, rescue_threshold=0.0),
-        "default": base,
-        "it40_r1": rb(40, 1),
-        "it60_r1": rb(60, 1),
-        "it100_r2": rb(100, 2),
-        "thr5e3_it40_r1": rb(40, 1, thr=5e-3),
+        "full_it100_r2": rb(100, 2, k=0),
+        "k128": rb(100, 2, k=128),
+        "k256": rb(100, 2, k=256),
+        "k512": rb(100, 2, k=512),
     }
+    if len(sys.argv) > 2:  # optional config filter by name substring
+        keep = sys.argv[2].split(",")
+        configs = {n: c for n, c in configs.items()
+                   if any(s in n for s in keep)}
 
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
     cache0 = qpm.QPCache.zeros(B, 42, 70, dtype) if backend == "pallas" else None
@@ -58,12 +63,12 @@ def main():
     results = {}
     for name, qp in configs.items():
         multi_step, scan_len = make_evolving_step(model, cp, qp, B, backend, dtype)
-        carry, cache, ts, kk = multi_step(carry0, cache0, False)
+        carry, cache, ts, kk, cnt = multi_step(carry0, cache0, False)
         jax.block_until_ready(ts)
         times = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            carry, cache, ts, kk = multi_step(carry, cache, True)
+            carry, cache, ts, kk, cnt = multi_step(carry, cache, True)
             jax.block_until_ready(ts)
             times.append((time.perf_counter() - t0) / scan_len)
         times.sort()
@@ -71,6 +76,8 @@ def main():
         results[name] = {
             "solves_per_s": round(sps, 1),
             "max_kkt": float(jnp.max(kk)),
+            "flagged_max": int(jnp.max(cnt)),
+            "flagged_mean": round(float(jnp.mean(cnt.astype(jnp.float32))), 2),
         }
         print(json.dumps({"config": name, **results[name]}), flush=True)
     print(json.dumps({"B": B, "results": results}), flush=True)
