@@ -348,8 +348,11 @@ def _rescue_solver_params(params: QPSolverParams) -> QPSolverParams:
 
     return dataclasses.replace(
         params,
+        # exactly rescue_polish_rounds, matching the in-scope Pallas rescue
+        # (_rescue_core loops rescue_polish_rounds) — tuned rescue budgets
+        # mean the same thing on every backend
         iterations=params.rescue_iterations,
-        polish_rounds=max(params.rescue_polish_rounds, params.polish_rounds),
+        polish_rounds=params.rescue_polish_rounds,
         rescue_threshold=0.0,
     )
 

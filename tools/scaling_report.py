@@ -78,11 +78,11 @@ def collective_inventory(n_devices=8, B=16, T=4):
     for line in hlo.splitlines():
         m = re.search(
             r"(all-reduce|all-gather|reduce-scatter|collective-permute|"
-            r"all-to-all)(\w*)\(", line
+            r"all-to-all)([-\w]*)\(", line
         )
         # async collectives appear as -start/-done pairs: count each pair
         # once (the -start carries the shapes; skip the -done)
-        if m and m.group(2) == "-done":
+        if m and m.group(2).endswith("-done"):
             continue
         if m:
             # shapes like f32[], f32[4,3]{...} on the result
