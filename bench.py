@@ -19,6 +19,11 @@ Modes (QWBC_BENCH_MODE):
     see in production.  This is the honest headline.
   fixed — the round-1 frozen-problem variant (same QP re-solved each step,
     converged warm start): the warm path's best case, kept for comparison.
+  diverse — 4 heterogeneous recorded gaits (walk / turning walk / trot /
+    unmodeled-payload walk; tools/make_diverse_traj.py) tiled across the
+    batch with per-scenario phase offsets (contact switches
+    desynchronized).  The default evolving run ALSO reports this as
+    diverse_* keys on the same JSON line (QWBC_BENCH_DIVERSE=0 skips).
 
 vs_baseline is against the reference's engineered real-time rate: 400 WBC
 QP solves/s on a desktop CPU (config/params_controller.yaml:3 — it publishes
@@ -42,6 +47,8 @@ from quadrupedwholebodycontroller_tpu.models.anymal import INITIAL_JOINT_POS
 
 TRAJ_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "walk_traj_400hz.npz")
+DIVERSE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "data", "diverse_traj_400hz.npz")
 
 
 def perturbed_standing_obs(batch, dtype):
@@ -132,6 +139,78 @@ def make_evolving_step(model, cp, qp, batch, backend, dtype=jnp.float32):
     return multi_step, scan_len
 
 
+def make_diverse_step(model, cp, qp, batch, backend, dtype=jnp.float32):
+    """The diverse-replay multi-step: 4 heterogeneous recorded gaits
+    (walk / fast turning walk / trot / unmodeled-payload walk,
+    tools/make_diverse_traj.py) tiled across the batch with per-scenario
+    PHASE OFFSETS, so contact switches desynchronize — scenario QPs are
+    heterogeneous every step and the per-scenario warm gate (ops/qp.py
+    cold_batch) does real work.  Same contract as make_evolving_step."""
+    traj = np.load(DIVERSE_PATH)
+    P, scan_len = traj["base_R"].shape[:2]
+    # flatten the profile axis: row p*T + t
+    obs_flat = wbc.RobotObservation(
+        **{k: jnp.asarray(traj[k], dtype).reshape((P * scan_len,) + traj[k].shape[2:])
+           for k in ("base_R", "base_p", "base_vel", "q", "qd")}
+    )
+    ref_flat = wbc.Reference(
+        **{k: jnp.asarray(traj[k], dtype).reshape((P * scan_len,) + traj[k].shape[2:])
+           for k in ("com_pose", "com_vel", "com_acc", "swing_pos",
+                     "swing_vel", "swing_acc", "contacts")}
+    )
+    new_flat = jnp.asarray(traj["ref_is_new"]).reshape(P * scan_len)
+    key = jax.random.PRNGKey(2)
+    k0, k1, k2, k3, k4 = jax.random.split(key, 5)
+    profile = jnp.arange(batch, dtype=jnp.int32) % P
+    # offsets in whole planner periods (x4 control steps) keep each
+    # scenario's publish ticks aligned with its own replayed references
+    offset = 4 * jax.random.randint(k0, (batch,), 0, scan_len // 4)
+    d_obs = dict(
+        base_p=0.01 * jax.random.normal(k1, (batch, 3), dtype),
+        base_vel=0.02 * jax.random.normal(k2, (batch, 6), dtype),
+        q=0.02 * jax.random.normal(k3, (batch, 12), dtype),
+        qd=0.05 * jax.random.normal(k4, (batch, 12), dtype),
+    )
+    flag_thr = qp.rescue_threshold if qp.rescue_threshold > 0 else 3e-3
+
+    @jax.jit
+    def multi_step(carry, cache, valid):
+        def body(cc, t):
+            c, cache = cc
+            idx = profile * scan_len + (t + offset) % scan_len
+            obs_b = wbc.RobotObservation(
+                base_R=jnp.take(obs_flat.base_R, idx, axis=0),
+                base_p=jnp.take(obs_flat.base_p, idx, axis=0) + d_obs["base_p"],
+                base_vel=jnp.take(obs_flat.base_vel, idx, axis=0)
+                + d_obs["base_vel"],
+                q=jnp.take(obs_flat.q, idx, axis=0) + d_obs["q"],
+                qd=jnp.take(obs_flat.qd, idx, axis=0) + d_obs["qd"],
+            )
+            ref_b = jax.tree.map(
+                lambda x: jnp.take(x, idx, axis=0), ref_flat
+            )
+            new_b = jnp.take(new_flat, idx, axis=0)  # per-scenario (B,)
+            if cache is not None:
+                out, c2, cache2 = wbc.wbc_step_batched(
+                    model, cp, qp, obs_b, ref_b, c, new_b, backend,
+                    cache, valid,
+                )
+            else:
+                out, c2 = wbc.wbc_step_batched(
+                    model, cp, qp, obs_b, ref_b, c, new_b, backend
+                )
+                cache2 = None
+            return (c2, cache2), (jnp.sum(out.tau),
+                                  jnp.max(out.qp_info.kkt_residual),
+                                  jnp.sum(out.qp_info.kkt_residual > flag_thr))
+        (c2, cache), (ts, kk, cnt) = jax.lax.scan(
+            body, (carry, cache), jnp.arange(scan_len)
+        )
+        return c2, cache, ts, kk, cnt
+
+    return multi_step, scan_len
+
+
 def main():
     mode = os.environ.get("QWBC_BENCH_MODE", "evolving")
     batch = int(os.environ.get("QWBC_BENCH_BATCH", "8192"))
@@ -152,6 +231,10 @@ def main():
 
     if mode == "evolving":
         multi_step, scan_len = make_evolving_step(
+            model, cp, qp, batch, backend, dtype
+        )
+    elif mode == "diverse":
+        multi_step, scan_len = make_diverse_step(
             model, cp, qp, batch, backend, dtype
         )
     else:  # fixed
@@ -189,38 +272,60 @@ def main():
             )
             return c2, cache, ts, kk, cnt
 
-    carry, cache, ts, kk, cnt = multi_step(carry, cache, False)
-    jax.block_until_ready(ts)
-
-    times = []
-    for _ in range(reps):
-        # evolving mode: the carry wraps around the finite replay — one
-        # slightly-mismatched warm start per 200 steps, same as production
-        # would see on any reference discontinuity
-        t0 = time.perf_counter()
-        carry, cache, ts, kk, cnt = multi_step(carry, cache, True)
+    def measure(multi_step, scan_len, carry, cache):
+        carry, cache, ts, kk, cnt = multi_step(carry, cache, False)
         jax.block_until_ready(ts)
-        times.append((time.perf_counter() - t0) / scan_len)
-    times.sort()
-    median = times[len(times) // 2]
-    solves_per_s = batch / median
+        times = []
+        for _ in range(reps):
+            # evolving mode: the carry wraps around the finite replay — one
+            # slightly-mismatched warm start per 200 steps, same as
+            # production would see on any reference discontinuity
+            t0 = time.perf_counter()
+            carry, cache, ts, kk, cnt = multi_step(carry, cache, True)
+            jax.block_until_ready(ts)
+            times.append((time.perf_counter() - t0) / scan_len)
+        times.sort()
+        median = times[len(times) // 2]
+        spread = (times[-1] - times[0]) / median
+        return {
+            "solves_per_s": round(batch / median, 1),
+            "max_kkt": float(jnp.max(kk)),
+            # scenarios whose FINAL KKT still exceeds the rescue threshold
+            # (worst step) — nonzero means the rescue budget/stages or
+            # rescue_batch is undersized for this workload
+            "flagged_max": int(jnp.max(cnt)),
+            "rep_spread": round(spread, 3),
+        }
 
-    print(
-        json.dumps(
-            {
-                "metric": "wbc_qp_solves_per_s",
-                "value": round(solves_per_s, 1),
-                "unit": "solves/s/chip",
-                "vs_baseline": round(solves_per_s / 400.0, 2),
-                "mode": mode,
-                "max_kkt": float(jnp.max(kk)),
-                # scenarios whose FINAL KKT still exceeds the rescue
-                # threshold (worst step) — nonzero means the rescue budget
-                # or rescue_batch is undersized for this workload
-                "flagged_max": int(jnp.max(cnt)),
-            }
+    head = measure(multi_step, scan_len, carry, cache)
+    row = {
+        "metric": "wbc_qp_solves_per_s",
+        "value": head["solves_per_s"],
+        "unit": "solves/s/chip",
+        "vs_baseline": round(head["solves_per_s"] / 400.0, 2),
+        "mode": mode,
+        "max_kkt": head["max_kkt"],
+        "flagged_max": head["flagged_max"],
+        "rep_spread": head["rep_spread"],
+    }
+    # the diverse row rides the headline run (VERDICT r2 #6): 4
+    # heterogeneous gaits with per-scenario phase offsets, contact
+    # switches desynchronized — the nominal replay's switches are
+    # batch-synchronized, which flatters the cache and the rescue
+    if mode == "evolving" and os.path.exists(DIVERSE_PATH) and int(
+        os.environ.get("QWBC_BENCH_DIVERSE", "1")
+    ):
+        d_step, d_len = make_diverse_step(model, cp, qp, batch, backend, dtype)
+        d_cache = (
+            qpm.QPCache.zeros(batch, 42, 70, dtype)
+            if backend == "pallas" else None
         )
-    )
+        d_carry = jax.tree.map(
+            lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype)
+        )
+        div = measure(d_step, d_len, d_carry, d_cache)
+        row.update({f"diverse_{k}": v for k, v in div.items()})
+    print(json.dumps(row))
 
 
 if __name__ == "__main__":

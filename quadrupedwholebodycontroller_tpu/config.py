@@ -165,6 +165,32 @@ class QPSolverParams:
                                   # un-rescued result — size k above the
                                   # per-step flagged count (measured with
                                   # tools/tune_rescue.py)
+    rescue_stages: int = 3        # the rescue re-fires (lax.while_loop, one
+                                  # trace) until no scenario exceeds the
+                                  # threshold or this many stages ran: each
+                                  # stage continues ADMM from the improved
+                                  # iterate and re-estimates the active set
+                                  # from a closer point, so repeated stages
+                                  # clear scenarios a single pass leaves
+                                  # marginally above threshold (BENCH_r02:
+                                  # flagged_max was 63 with one stage)
+    rescue_comp_refine: int = 2   # compensated (double-f32, error-free-
+                                  # transformation) refinement passes on the
+                                  # active-set KKT system as the rescue's
+                                  # final candidate (ops/compensated.py):
+                                  # recovers the digits that plain-f32
+                                  # residual evaluation noise-floors away.
+                                  # 0 disables
+    cold_batch: int = 256         # per-scenario warm-cache gating: scenarios
+                                  # whose contact set switched are re-
+                                  # inverted cold on a compacted top-k
+                                  # sub-batch while the rest warm-update
+                                  # from the carried cache (one scenario's
+                                  # switch no longer cold-starts the whole
+                                  # batch).  More switched scenarios than
+                                  # this falls back to the full-batch cold
+                                  # inverse.  0 = batch-level gating (the
+                                  # pre-round-3 behavior)
 
 
 def load_yaml_params(path: str):

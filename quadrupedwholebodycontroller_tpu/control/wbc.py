@@ -384,6 +384,92 @@ def _wbc_polish_hinv(H, reg):
     return diag, blk_inv, 18
 
 
+def _exact_correction(model, params, obs, contacts, carry, switch):
+    """Per-sample jvp-exact Tdot/Jdot corrections over the FD setup.
+
+    The fused Pallas setup kernel implements the reference-faithful
+    finite-difference derivative path (cpp:384-402).  exact_derivatives
+    replaces FD with jvp-exact derivatives along the state flow; rather
+    than forfeiting the kernel (the round-2 XLA fallback cost +13.6
+    ms/step), this computes only the DELTAS the exact mode changes —
+    the QP rows that depend on Jdot/Tdot and the centroidal bias — and
+    the caller patches them over the kernel's outputs:
+
+      rows 6-17  (stance):  -(Jd_st_exact - Jd_st_fd) @ vel_c
+      rows 34-45 (torque):  -(h_c_exact - h_c_fd)[6:]
+      rows 46-69 (swing):   -(Jd_sw_exact - Jd_sw_fd) @ vel_c
+      h_c_exact - h_c_fd = T^{-T} M ((Tdinv_exact - Tdinv_stale) @ u)
+        (centroidal_bias is linear in tdot_inv, so the exact-vs-stale
+         difference needs no Coriolis recomputation)
+
+    Returns (d_st (12,), d_sw (12,), dh (18,), tdot_inv_exact)."""
+    dtype = obs.base_p.dtype
+    nl = NUM_LEGS
+    dt = 1.0 / params.loop_rate
+    u = jnp.concatenate([obs.base_vel, obs.qd])
+
+    def mats(R, p, qq):
+        kin_ = K.forward_kinematics(model, R, p, qq)
+        M_ = D.mass_matrix(model, kin_)
+        com_ = K.robot_com(model, kin_)
+        tf_ = C.centroidal_transform(M_, com_, p)
+        Jf_ = K.frame_jacobians(model, kin_)[:, :3, :]
+        Jst_ = (Jf_ * contacts[:, None, None]).reshape(3 * nl, NV) @ tf_.T_inv
+        Jsw_ = (
+            (Jf_ * (1.0 - contacts)[:, None, None]).reshape(3 * nl, NV)
+            @ tf_.T_inv
+        )
+        return (tf_.T, Jst_, Jsw_), (M_, tf_)
+
+    flow = K.state_flow(obs.base_R, obs.base_p, obs.q, u)
+    (T, Jst, Jsw), (T_dot, Jd_st, Jd_sw), (M, tf) = jax.jvp(
+        mats, (obs.base_R, obs.base_p, obs.q), flow, has_aux=True
+    )
+    tdot_inv_exact = C.tdot_inverse(tf, T_dot)
+    dh = tf.T_inv.T @ (M @ ((tdot_inv_exact - carry.tdot_inv) @ u))
+    # reference velocity convention: CoM linear velocity + BASE angular
+    # velocity (cpp:260-264) — NOT the centroidal average angular velocity
+    vel_c = jnp.concatenate([(T @ u)[:3], obs.base_vel[3:6], obs.qd])
+    gate = jnp.where(switch | ~carry.deriv_valid, 0.0, 1.0).astype(dtype)
+    Jd_st_fd = gate * (Jst - carry.old_J_st) / dt
+    Jd_sw_fd = gate * (Jsw - carry.old_J_sw) / dt
+    d_st = -((Jd_st - Jd_st_fd) @ vel_c)
+    d_sw = -((Jd_sw - Jd_sw_fd) @ vel_c)
+    return d_st, d_sw, dh, tdot_inv_exact
+
+
+def _exact_epilogue_batched(model, params, obs, carry, setup, prepared):
+    """Patch the fused-kernel FD setup into the exact-derivatives setup
+    (VERDICT r2 #8).  Returns (setup, prepared) with the Jdot/Tdot-
+    dependent QP bound rows, h_c, and the carried tdot_inv replaced by
+    their jvp-exact values; the scaled `prepared` bounds are re-patched
+    through the (linear) Ruiz row scaling.  f64 interpret-mode equivalence
+    vs the vmapped XLA exact wbc_setup: tests/test_exact_derivatives.py."""
+    contacts = setup.carry_updates["prev_contacts"]
+    switch = setup.carry_updates["switch_flag"]
+    d_st, d_sw, dh, tdot_exact = jax.vmap(
+        lambda o, c, cr, sw: _exact_correction(model, params, o, c, cr, sw)
+    )(obs, contacts, carry, switch)
+    B = d_st.shape[0]
+    dtype = d_st.dtype
+    dl = jnp.zeros((B, QP_NUM_CONSTRAINTS), dtype)
+    dl = dl.at[:, 6:18].add(d_st).at[:, 34:46].add(-dh[:, 6:])
+    du = dl.at[:, 46:58].add(d_sw)
+    dl = dl.at[:, 58:70].add(d_sw)
+    data = setup.qp_data
+    new_carry_updates = dict(setup.carry_updates, tdot_inv=tdot_exact)
+    setup = setup._replace(
+        qp_data=data._replace(l=data.l + dl, u=data.u + du),
+        h_c=setup.h_c + dh,
+        carry_updates=new_carry_updates,
+    )
+    if prepared is not None:
+        sH, sA, sg, sl, su, rho, wxs, wzs, wys, dscale, escale = prepared
+        prepared = (sH, sA, sg, sl + escale * dl, su + escale * du,
+                    rho, wxs, wzs, wys, dscale, escale)
+    return setup, prepared
+
+
 def _switch_masked_warm(carry: WBCCarry, switch):
     """On a contact switch the carried duals refer to re-masked constraint
 
@@ -421,18 +507,16 @@ def wbc_step_batched(
 
     setup_backend: "xla" (vmapped wbc_setup), "pallas" (the fused one-launch
     setup kernel, ops/pallas/setup_kernel.py), or "auto" — pallas whenever
-    the QP backend is pallas and the reference-faithful FD path is active
-    (the kernel does not implement exact_derivatives).
+    the QP backend is pallas.  With exact_derivatives the pallas path runs
+    the kernel's FD setup and patches the Jdot/Tdot-dependent rows with a
+    jvp-exact XLA epilogue (_exact_epilogue_batched) instead of forfeiting
+    the kernel.
 
     ref_is_new may be a scalar or a per-scenario (B,) array."""
     B = obs.q.shape[0]
     ref_is_new_b = jnp.broadcast_to(jnp.asarray(ref_is_new), (B,))
     if setup_backend == "auto":
-        setup_backend = (
-            "pallas"
-            if qp_backend == "pallas" and not params.exact_derivatives
-            else "xla"
-        )
+        setup_backend = "pallas" if qp_backend == "pallas" else "xla"
     prepared = None
     if setup_backend == "pallas":
         from quadrupedwholebodycontroller_tpu.ops.pallas import setup_kernel
@@ -457,6 +541,12 @@ def wbc_step_batched(
             foot_pos=sk["foot_pos"],
             carry_updates=sk["carry_updates"],
         )
+        if params.exact_derivatives:
+            # jvp-exact Tdot/Jdot epilogue over the kernel's FD setup —
+            # the exact mode keeps the fused kernel (VERDICT r2 #8)
+            setup, prepared = _exact_epilogue_batched(
+                model, params, obs, carry, setup, prepared
+            )
     else:
         setup = jax.vmap(
             lambda o, r, c, rn: wbc_setup(model, params, o, r, c, rn)
@@ -465,7 +555,16 @@ def wbc_step_batched(
     warm = jax.vmap(_switch_masked_warm)(carry, switch)
     hinv_fn = _wbc_polish_hinv if qp_backend == "pallas" else None
     if qp_cache is not None:
-        use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch)
+        if qp_params.cold_batch > 0:
+            # per-scenario warm gate: a contact switch cold-restarts only
+            # that scenario's cached inverses (compacted top-k cold fix,
+            # ops/qp.py) — desynchronized gaits keep the cache alive.
+            # qpOASES hotstart is likewise per-problem (cpp:529-533).
+            use_warm = (
+                jnp.broadcast_to(jnp.asarray(cache_valid), (B,)) & ~switch
+            )
+        else:
+            use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch)
         qp_state, qp_info, new_cache = qp.solve_batched(
             setup.qp_data, warm, qp_params, qp_backend,
             cache=qp_cache, use_warm=use_warm, hinv_fn=hinv_fn,

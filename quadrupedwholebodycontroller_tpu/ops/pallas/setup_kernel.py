@@ -1015,8 +1015,10 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
 
     Returns the same pieces as control/wbc.WBCSetup, as a dict:
     qp H/g/A/l/u plus h_c, Mc_jj, Jc_st_j, com, current_pose, foot_pos and
-    the carry_updates dict.  Only the reference-faithful finite-difference
-    path (params.exact_derivatives == False) is supported.
+    the carry_updates dict.  The kernel always computes the
+    reference-faithful finite-difference derivative path; exact_derivatives
+    is realized by control/wbc._exact_epilogue_batched patching the
+    Jdot/Tdot-dependent rows over these outputs.
 
     With qp_params (QPSolverParams), the QP prepare stage (Ruiz + scaling,
     ops/pallas/prepare_kernel.py) runs inside the SAME kernel launch using
@@ -1025,8 +1027,10 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
     tuple for ops/qp.solve_batched(prepared=...)."""
     from quadrupedwholebodycontroller_tpu.ops import spatial
 
-    if params.exact_derivatives:
-        raise ValueError("setup kernel supports the FD path only")
+    # exact_derivatives: the kernel always computes the reference-faithful
+    # FD setup; the exact mode is realized by the caller patching the
+    # Jdot/Tdot-dependent rows over these outputs
+    # (control/wbc._exact_epilogue_batched)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B = obs.q.shape[0]

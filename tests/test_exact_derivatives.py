@@ -47,3 +47,90 @@ def test_exact_derivatives_walk():
     err_fd, err_ex = track_err(tr_fd), track_err(tr_ex)
     # exact derivatives must not be worse than FD by more than 20%
     assert err_ex <= err_fd * 1.2, (err_fd, err_ex)
+
+
+def test_exact_epilogue_matches_xla_setup(rng):
+    """The pallas-path exact mode (fused FD kernel + jvp-exact patch
+    epilogue, control/wbc._exact_epilogue_batched) reproduces the vmapped
+    XLA exact wbc_setup: same QP bounds, h_c, and carried tdot_inv (f64
+    interpret mode)."""
+    import functools
+
+    import quadrupedwholebodycontroller_tpu.ops.pallas.setup_kernel as sku
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models.anymal import (
+        INITIAL_JOINT_POS,
+    )
+
+    dtype = jnp.float64
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams(exact_derivatives=True)
+    B = 3
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    obs = wbc.RobotObservation(
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
+        base_vel=0.1 * jax.random.normal(k2, (B, 6), dtype),
+        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1))
+        + 0.05 * jax.random.normal(k3, (B, 12), dtype),
+        qd=0.2 * jax.random.normal(k4, (B, 12), dtype),
+    )
+    ref = jax.tree.map(
+        lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
+    )
+    # one leg swinging + a warmed carry (non-trivial FD history and a
+    # non-zero stale tdot_inv so the exact-vs-stale delta is exercised)
+    ref = ref._replace(
+        contacts=ref.contacts.at[:, 1].set(0.0),
+        swing_pos=0.1 * jax.random.normal(key, (B, 12), dtype),
+    )
+    carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    setup_warm = jax.vmap(
+        lambda o, r, c: wbc.wbc_setup(model, ControllerParams(), o, r, c, True)
+    )(obs, ref, carry0)
+    carry = jax.vmap(lambda cu, q: wbc.WBCCarry(qp_warm=q, **cu))(
+        setup_warm.carry_updates,
+        jax.tree.map(lambda x: jnp.stack([x] * B),
+                     wbc.init_carry(dtype)).qp_warm,
+    )
+
+    want = jax.vmap(
+        lambda o, r, c: wbc.wbc_setup(model, cp, o, r, c, True)
+    )(obs, ref, carry)
+
+    orig = sku.setup_batched
+    sku.setup_batched = functools.partial(orig, interpret=True)
+    try:
+        out, _ = wbc.wbc_step_batched(
+            model, cp, QPSolverParams(), obs, ref, carry, True,
+            qp_backend="xla", setup_backend="pallas",
+        )
+        # reproduce the patched setup for the assertions
+        sk = sku.setup_batched(model, cp, obs, ref, carry,
+                               jnp.ones((B,), bool))
+        from quadrupedwholebodycontroller_tpu.ops import qp as qpm_
+
+        setup = wbc.WBCSetup(
+            qp_data=qpm_.QPData(H=sk["H"], g=sk["g"], A=sk["A"],
+                                l=sk["l"], u=sk["u"]),
+            h_c=sk["h_c"], Mc_jj=sk["Mc_jj"], Jc_st_j=sk["Jc_st_j"],
+            com=sk["com"], current_pose=sk["current_pose"],
+            foot_pos=sk["foot_pos"], carry_updates=sk["carry_updates"],
+        )
+        got, _ = wbc._exact_epilogue_batched(model, cp, obs, carry, setup,
+                                             None)
+    finally:
+        sku.setup_batched = orig
+
+    tol = 1e-8
+    finite = np.abs(np.asarray(want.qp_data.l)) < 1e19
+    assert np.allclose(np.asarray(got.qp_data.l)[finite],
+                       np.asarray(want.qp_data.l)[finite], atol=tol)
+    finite = np.abs(np.asarray(want.qp_data.u)) < 1e19
+    assert np.allclose(np.asarray(got.qp_data.u)[finite],
+                       np.asarray(want.qp_data.u)[finite], atol=tol)
+    assert np.allclose(np.asarray(got.h_c), np.asarray(want.h_c), atol=tol)
+    assert np.allclose(np.asarray(got.carry_updates["tdot_inv"]),
+                       np.asarray(want.carry_updates["tdot_inv"]), atol=tol)

@@ -39,9 +39,9 @@ def main():
     backend = "pallas" if jax.default_backend() != "cpu" else "xla"
 
     base = QPSolverParams()
-    rb = lambda it, r, thr=3e-3, k=0: dataclasses.replace(
+    rb = lambda it, r, thr=3e-3, k=0, **kw: dataclasses.replace(
         base, rescue_threshold=thr, rescue_iterations=it,
-        rescue_polish_rounds=r, rescue_batch=k,
+        rescue_polish_rounds=r, rescue_batch=k, **kw,
     )
     configs = {
         # "off" also measures the flagged-count DEMAND (max/mean scenarios
@@ -51,6 +51,16 @@ def main():
         "k128": rb(100, 2, k=128),
         "k256": rb(100, 2, k=256),
         "k512": rb(100, 2, k=512),
+        # round-3 knobs: staged rescue + compensated refinement.
+        # "r2_default" is the round-2 behavior (1 stage, no compensation);
+        # "default" is whatever QPSolverParams currently ships.
+        "r2_default": rb(100, 2, k=256, rescue_stages=1,
+                         rescue_comp_refine=0),
+        "stages3": rb(100, 2, k=256, rescue_stages=3, rescue_comp_refine=0),
+        "comp2": rb(100, 2, k=256, rescue_stages=1, rescue_comp_refine=2),
+        "stages3_comp2": rb(100, 2, k=256, rescue_stages=3,
+                            rescue_comp_refine=2),
+        "default": base,
     }
     if len(sys.argv) > 2:  # optional config filter by name substring
         keep = sys.argv[2].split(",")
