@@ -86,6 +86,35 @@ def _bound_finite(x):
     return jnp.abs(x) < 1e19
 
 
+def _sg(tree):
+    """stop_gradient on the array leaves of a pytree (static leaves — e.g.
+    the compact block-diagonal `start` index — pass through untouched)."""
+    return jax.tree.map(
+        lambda x: jax.lax.stop_gradient(x) if isinstance(x, jax.Array) else x,
+        tree,
+    )
+
+
+def _ad_passthrough(before, after):
+    """value = `after`, gradient = identity on `before`.
+
+    The staged tail rescue runs in a lax.while_loop (one trace, re-fires
+    until below threshold) which reverse-mode AD cannot transpose; and
+    differentiating through a conditionally-fired reliability refinement is
+    not meaningful anyway (it approximates the same implicit solution map).
+    The rescue therefore runs entirely under stop_gradient and its result
+    is merged value-only: downstream gradients flow through the pre-rescue
+    iterate (the smooth ADMM+polish path), keeping end-to-end
+    differentiability (tests/test_differentiability.py) with the rescue
+    active."""
+    def merge(a, b):
+        if not jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+            return b  # bool/int leaves (e.g. `polished`) carry no gradient
+        return a + jax.lax.stop_gradient(b - a)
+
+    return jax.tree.map(merge, before, after)
+
+
 def _blockdiag_dense(compact):
     """Densify a compact block-diagonal (diag (B, n), blk (B, k, k), start)
     matrix (the hinv_fn closed-form protocol); diag is zero on the block
@@ -317,10 +346,11 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     )
     if params.rescue_threshold > 0:
         rparams = _rescue_solver_params(params)
+        data_sg = _sg(data)
 
         def do_rescue(ops):
             s, b, i = ops
-            st, ri = solve(data, b, rparams)
+            st, ri = solve(data_sg, b, rparams)
             ok = ri.kkt_residual <= i.kkt_residual
             return (
                 s + 1,
@@ -335,13 +365,15 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
 
         # re-fires until below threshold or the stage budget runs out
         # (single trace): each stage continues ADMM from the improved
-        # iterate — the batched analogue lives in solve_batched
-        _, best, info = jax.lax.while_loop(
+        # iterate — the batched analogue lives in solve_batched.  Runs
+        # under stop_gradient with a value-only merge (_ad_passthrough)
+        _, best_r, info_r = jax.lax.while_loop(
             lambda ops: (ops[0] < params.rescue_stages)
             & (ops[2].kkt_residual > params.rescue_threshold),
             do_rescue,
-            (jnp.zeros((), jnp.int32), best, info),
+            (jnp.zeros((), jnp.int32), _sg(best), _sg(info)),
         )
+        best, info = _ad_passthrough((best, info), (best_r, info_r))
     return best, info
 
 
@@ -450,10 +482,11 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
     and accept per-scenario only where the residual improves.  On typical
     steps (no flagged scenario) the loop costs one scalar compare."""
     rparams = _rescue_solver_params(params)
+    data_sg = _sg(data)
 
     def do_rescue(ops):
         s, b, i = ops
-        st, ri = solve_batched(data, b, rparams, backend, hinv_fn=hinv_fn)
+        st, ri = solve_batched(data_sg, b, rparams, backend, hinv_fn=hinv_fn)
         merged, pr_b, du_b, res_b, pol = _accept_better(
             b, i.primal_residual, i.dual_residual, i.kkt_residual,
             i.polished, st, ri.primal_residual, ri.dual_residual,
@@ -461,11 +494,11 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
         )
         if params.rescue_comp_refine > 0 and params.polish:
             Hinv = (
-                hinv_fn(data.H, params.polish_reg)
+                hinv_fn(data_sg.H, params.polish_reg)
                 if hinv_fn is not None else None
             )
             cand, pr_c, du_c = _polish_comp(
-                data, QPState(merged.x, merged.z, merged.y), params, Hinv
+                data_sg, QPState(merged.x, merged.z, merged.y), params, Hinv
             )
             res_c = jnp.maximum(pr_c, du_c)
             res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
@@ -474,13 +507,14 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
             )
         return s + 1, merged, QPInfo(pr_b, du_b, res_b, pol)
 
-    _, best, info = jax.lax.while_loop(
+    # runs under stop_gradient with a value-only merge (_ad_passthrough)
+    _, best_r, info_r = jax.lax.while_loop(
         lambda ops: (ops[0] < params.rescue_stages)
         & jnp.any(ops[2].kkt_residual > params.rescue_threshold),
         do_rescue,
-        (jnp.zeros((), jnp.int32), best, info),
+        (jnp.zeros((), jnp.int32), _sg(best), _sg(info)),
     )
-    return best, info
+    return _ad_passthrough((best, info), (best_r, info_r))
 
 
 @_full_precision
@@ -972,16 +1006,25 @@ def solve_batched(
 
         kres = params.rescue_batch
         compact_rescue = 0 < kres < res_b.shape[0]
+        # the rescue runs under stop_gradient (see _ad_passthrough): sg'd
+        # copies of every closed-over array keep the while_loop free of
+        # differentiable inputs so reverse AD never has to transpose it
+        K_g, sdata_g, rho_g, data_g, d_g, e_g = _sg(
+            (K, sdata, rho, data, dscale, escale)
+        )
+        Hp_g, Hip_g, G2_g, tiles_g = _sg(
+            (H_polish, Hinv_polish, G2_pol, tiles_pol)
+        )
 
         def _rescue(args):
             best, pr_b, du_b, res_b, polished = args
             if not compact_rescue:
                 return _rescue_core(
                     best, pr_b, du_b, res_b, polished,
-                    K, sdata.A, sdata.g, sdata.l, sdata.u, rho, sdata.H,
-                    data.l, data.u, dscale, escale,
-                    data, H_polish, Hinv_polish,
-                    G2=G2_pol, tiles=tiles_pol,
+                    K_g, sdata_g.A, sdata_g.g, sdata_g.l, sdata_g.u, rho_g,
+                    sdata_g.H, data_g.l, data_g.u, d_g, e_g,
+                    data_g, Hp_g, Hip_g,
+                    G2=G2_g, tiles=tiles_g,
                 )
             _, idx = jax.lax.top_k(res_b, kres)
 
@@ -996,16 +1039,17 @@ def solve_batched(
                 return take(t)
 
             best_c = QPState(x=take(best.x), z=take(best.z), y=take(best.y))
-            data_c = QPData(H=take(data.H), g=take(data.g), A=take(data.A),
-                            l=take(data.l), u=take(data.u))
+            data_c = QPData(H=take(data_g.H), g=take(data_g.g),
+                            A=take(data_g.A), l=take(data_g.l),
+                            u=take(data_g.u))
             # G2/tiles are full-batch invariants — the compact polish
             # re-derives them from the gathered data (cheap at k rows)
             best_c, pr_c, du_c, res_c, pol_c = _rescue_core(
                 best_c, take(pr_b), take(du_b), take(res_b), take(polished),
-                take(K), take(sdata.A), take(sdata.g), take(sdata.l),
-                take(sdata.u), take(rho), take(sdata.H),
-                take(data.l), take(data.u), take(dscale), take(escale),
-                data_c, take_pol(H_polish), take_pol(Hinv_polish),
+                take(K_g), take(sdata_g.A), take(sdata_g.g), take(sdata_g.l),
+                take(sdata_g.u), take(rho_g), take(sdata_g.H),
+                take(data_g.l), take(data_g.u), take(d_g), take(e_g),
+                data_c, take_pol(Hp_g), take_pol(Hip_g),
             )
             best = QPState(
                 x=best.x.at[idx].set(best_c.x),
@@ -1025,12 +1069,14 @@ def solve_batched(
             s, args = ops
             return s + 1, _rescue(args)
 
-        _, (best, pr_b, du_b, res_b, polished) = jax.lax.while_loop(
+        pre = (best, pr_b, du_b, res_b, polished)
+        _, post = jax.lax.while_loop(
             lambda ops: (ops[0] < params.rescue_stages)
             & jnp.any(ops[1][3] > params.rescue_threshold),
             _rescue_staged,
-            (jnp.zeros((), jnp.int32), (best, pr_b, du_b, res_b, polished)),
+            (jnp.zeros((), jnp.int32), _sg(pre)),
         )
+        best, pr_b, du_b, res_b, polished = _ad_passthrough(pre, post)
     info = QPInfo(pr_b, du_b, res_b, polished)
     if cache is not None:
         new_cache = QPCache(
