@@ -181,7 +181,7 @@ class QPSolverParams:
                                   # recovers the digits that plain-f32
                                   # residual evaluation noise-floors away.
                                   # 0 disables
-    cold_batch: int = 256         # per-scenario warm-cache gating: scenarios
+    cold_batch: int = 512         # per-scenario warm-cache gating: scenarios
                                   # whose contact set switched are re-
                                   # inverted cold on a compacted top-k
                                   # sub-batch while the rest warm-update
@@ -190,7 +190,9 @@ class QPSolverParams:
                                   # batch).  More switched scenarios than
                                   # this falls back to the full-batch cold
                                   # inverse.  0 = batch-level gating (the
-                                  # pre-round-3 behavior)
+                                  # pre-round-3 behavior).  512 covers the
+                                  # diverse 4-gait replay's worst step
+                                  # (~495 switch edges at B=8192)
 
 
 def load_yaml_params(path: str):

@@ -555,16 +555,27 @@ def wbc_step_batched(
     warm = jax.vmap(_switch_masked_warm)(carry, switch)
     hinv_fn = _wbc_polish_hinv if qp_backend == "pallas" else None
     if qp_cache is not None:
+        # cache invalidation keys on the switch EDGE (contacts changed at
+        # THIS publish tick), not the held switch_flag: the flag stays up
+        # until the next planner message (reference semantics, kept for
+        # the FD-derivative zeroing), but the cached inverses match the
+        # new contact set after ONE cold re-inverse — re-colding through
+        # the whole held window would quadruple the cold load under
+        # desynchronized gaits
+        switch_edge = jnp.broadcast_to(jnp.asarray(ref_is_new), (B,)) & (
+            jnp.any(ref.contacts != carry.prev_contacts, axis=-1)
+        )
         if qp_params.cold_batch > 0:
             # per-scenario warm gate: a contact switch cold-restarts only
             # that scenario's cached inverses (compacted top-k cold fix,
             # ops/qp.py) — desynchronized gaits keep the cache alive.
             # qpOASES hotstart is likewise per-problem (cpp:529-533).
             use_warm = (
-                jnp.broadcast_to(jnp.asarray(cache_valid), (B,)) & ~switch
+                jnp.broadcast_to(jnp.asarray(cache_valid), (B,))
+                & ~switch_edge
             )
         else:
-            use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch)
+            use_warm = jnp.asarray(cache_valid) & ~jnp.any(switch_edge)
         qp_state, qp_info, new_cache = qp.solve_batched(
             setup.qp_data, warm, qp_params, qp_backend,
             cache=qp_cache, use_warm=use_warm, hinv_fn=hinv_fn,

@@ -221,3 +221,72 @@ def test_cold_batch_zero_restores_batch_gate(rng):
         assert np.allclose(np.asarray(st_m.x), np.asarray(st_c.x), atol=0)
     finally:
         restore()
+
+
+def test_cache_gate_fires_on_switch_edge_only(rng, monkeypatch):
+    """The warm-cache gate keys on the switch EDGE (contacts changed at
+    this publish tick), not the held switch_flag: held steps after the
+    edge reuse the (already re-inverted) cache.  The held flag still
+    drives the FD-derivative zeroing (reference semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.config import ControllerParams
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import (
+        INITIAL_JOINT_POS,
+    )
+
+    captured = []
+    orig = qpm.solve_batched
+
+    def spy(data, warm, params=QPSolverParams(), backend="xla", cache=None,
+            use_warm=None, **kw):
+        captured.append(np.asarray(use_warm))
+        return orig(data, warm, params, backend, cache=cache,
+                    use_warm=use_warm, **kw)
+
+    restore = _patch_interpret()
+    monkeypatch.setattr(wbc.qp, "solve_batched", spy)
+    try:
+        dtype = jnp.float32
+        model = anymal_d_model(dtype=dtype)
+        cp = ControllerParams()
+        p = QPSolverParams(sigma=0.0, cold_batch=2, rescue_threshold=0.0)
+        B = 3
+        obs = wbc.RobotObservation(
+            base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+            base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1)),
+            base_vel=jnp.zeros((B, 6), dtype),
+            q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
+            qd=jnp.zeros((B, 12), dtype),
+        )
+        ref = jax.tree.map(
+            lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
+        )
+        carry = jax.tree.map(lambda x: jnp.stack([x] * B),
+                             wbc.init_carry(dtype))
+        cache = qpm.QPCache.zeros(B, 42, 70, dtype)
+        # step 1: cold (cache invalid)
+        _, carry, cache = wbc.wbc_step_batched(
+            model, cp, p, obs, ref, carry, True, "pallas", cache, False)
+        # step 2: warm everywhere
+        _, carry, cache = wbc.wbc_step_batched(
+            model, cp, p, obs, ref, carry, True, "pallas", cache, True)
+        # step 3: scenario 0 lifts a leg (switch EDGE, new reference)
+        ref_sw = ref._replace(
+            contacts=ref.contacts.at[0, 1].set(0.0))
+        _, carry, cache = wbc.wbc_step_batched(
+            model, cp, p, obs, ref_sw, carry, True, "pallas", cache, True)
+        # step 4: no new reference (held switch_flag, no edge)
+        _, carry, cache = wbc.wbc_step_batched(
+            model, cp, p, obs, ref_sw, carry, False, "pallas", cache, True)
+        assert not captured[0].any()                      # all cold
+        assert captured[1].all()                          # all warm
+        assert list(captured[2]) == [False, True, True]   # edge only
+        assert captured[3].all()                          # held != edge
+        # the held flag is still up for scenario 0 at step 4 (FD zeroing)
+        assert bool(carry.switch_flag[0])
+    finally:
+        restore()

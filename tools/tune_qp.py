@@ -40,6 +40,11 @@ from quadrupedwholebodycontroller_tpu.planner import gait
 
 CONFIGS = {
     "default": QPSolverParams(),
+    # the round-2 rescue (single stage, no compensated refinement,
+    # batch-level warm gate) — isolates the round-3 additions
+    "r2_rescue": QPSolverParams(
+        rescue_stages=1, rescue_comp_refine=0, cold_batch=0
+    ),
     # f32 tail-rescue A/B (VERDICT r1 item 5): default has
     # rescue_threshold=3e-3; this isolates its cost/benefit
     "norescue": QPSolverParams(rescue_threshold=0.0),

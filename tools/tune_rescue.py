@@ -26,8 +26,11 @@ from quadrupedwholebodycontroller_tpu.control import wbc
 from quadrupedwholebodycontroller_tpu.models import anymal_d_model
 from quadrupedwholebodycontroller_tpu.ops import qp as qpm
 
-from bench import make_evolving_step  # noqa: E402
+from bench import make_diverse_step, make_evolving_step  # noqa: E402
 
+# QWBC_TUNE_MODE=diverse switches the workload to the desynchronized
+# 4-gait replay (bench.py diverse mode)
+MODE = os.environ.get("QWBC_TUNE_MODE", "evolving")
 REPS = 3
 
 
@@ -61,6 +64,16 @@ def main():
         "stages3_comp2": rb(100, 2, k=256, rescue_stages=3,
                             rescue_comp_refine=2),
         "default": base,
+        # diverse-mode warm-gate sizing: cold_batch must cover the worst
+        # step's switch count for the compact path to hold (the 4-gait
+        # replay peaks at ~495 switching scenarios/step at B=8192)
+        "cold512": dataclasses.replace(base, cold_batch=512),
+        "cold1024": dataclasses.replace(base, cold_batch=1024),
+        "cold0": dataclasses.replace(base, cold_batch=0),
+        "cold512_norescue": dataclasses.replace(
+            base, cold_batch=512, rescue_threshold=0.0),
+        "cold512_nocomp": dataclasses.replace(
+            base, cold_batch=512, rescue_comp_refine=0),
     }
     if len(sys.argv) > 2:  # optional config filter by name substring
         keep = sys.argv[2].split(",")
@@ -70,9 +83,10 @@ def main():
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
     cache0 = qpm.QPCache.zeros(B, 42, 70, dtype) if backend == "pallas" else None
 
+    mk = make_diverse_step if MODE == "diverse" else make_evolving_step
     results = {}
     for name, qp in configs.items():
-        multi_step, scan_len = make_evolving_step(model, cp, qp, B, backend, dtype)
+        multi_step, scan_len = mk(model, cp, qp, B, backend, dtype)
         carry, cache, ts, kk, cnt = multi_step(carry0, cache0, False)
         jax.block_until_ready(ts)
         times = []
