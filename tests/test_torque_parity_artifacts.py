@@ -1,0 +1,79 @@
+"""Guard over the measured on-chip f32 torque-error artifacts (VERDICT r2 #4).
+
+data/torque_cpu64.npz (f64 CPU xla replay — the reference-grade chain,
+pinned to the C++ torque map at <= 1e-3 N.m by tests/test_parity.py) and
+data/torque_run.npz (f32 pallas replay ON THE TPU) are produced by
+tools/measure_torque_err.py from the recorded 400 Hz walking trajectory.
+This test recomputes the error statistics from the committed artifacts and
+pins them to the PERF.md "Measured on-chip f32 torque error" table, so the
+documented numbers cannot silently drift from the data (regenerate BOTH
+artifacts and the table together if the controller changes).
+"""
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+CPU64 = os.path.join(ROOT, "data", "torque_cpu64.npz")
+RUN = os.path.join(ROOT, "data", "torque_run.npz")
+
+
+@pytest.fixture(scope="module")
+def arrays():
+    if not (os.path.exists(CPU64) and os.path.exists(RUN)):
+        pytest.skip("torque artifacts not present")
+    return np.load(CPU64), np.load(RUN)
+
+
+def test_artifacts_cover_the_full_replay(arrays):
+    ref, f32 = arrays
+    traj = np.load(os.path.join(ROOT, "data", "walk_traj_400hz.npz"))
+    T = traj["base_R"].shape[0]
+    assert ref["tau"].shape == (T, 12)
+    assert f32["tau"].shape == (T, 12)
+    # the f32 artifact must come from an accelerator run, not a CPU rerun
+    assert str(f32["backend"]) != "cpu"
+    assert str(ref["backend"]) == "cpu"
+
+
+def test_torque_error_distribution_within_documented_bounds(arrays):
+    ref, f32 = arrays
+    err = np.abs(f32["tau"] - ref["tau"])
+    # PERF.md table (measured: median 2.0e-5 / p99 2.4e-2 / max 0.252)
+    assert np.median(err) < 1e-4
+    assert np.percentile(err, 99) < 5e-2
+    assert err.max() < 0.5
+    step_err = err.max(axis=1)
+    assert np.sum(step_err > 0.1) <= 5
+    assert np.abs(f32["grf"] - ref["grf"]).max() < 0.5
+
+
+def test_both_replays_are_kkt_certified(arrays):
+    """The error tail must be solution multiplicity, not solver failure:
+    every step of both replays carries a small relative KKT certificate."""
+    ref, f32 = arrays
+    assert float(ref["kkt"].max()) < 1e-6     # f64: ~1e-9 measured
+    assert float(f32["kkt"].max()) < 3e-3     # f32: 6.7e-4 measured —
+    #                                           below the rescue threshold
+
+
+def test_worst_steps_are_indeterminate_stance_not_divergence(arrays):
+    """The 5 worst steps sit in 3-stance phases (statically indeterminate
+    force split), away from contact switches — the documented mechanism."""
+    ref, f32 = arrays
+    traj = np.load(os.path.join(ROOT, "data", "walk_traj_400hz.npz"))
+    c, new = traj["contacts"], traj["ref_is_new"]
+    switch = np.zeros(len(c), bool)
+    prev = c[0]
+    for t in range(len(c)):
+        if new[t] and np.any(c[t] != prev):
+            switch[t] = True
+            prev = c[t]
+    near = np.zeros_like(switch)
+    for t in np.flatnonzero(switch):
+        near[max(0, t - 2):t + 8] = True
+    step_err = np.abs(f32["tau"] - ref["tau"]).max(axis=1)
+    for t in np.argsort(-step_err)[:5]:
+        assert c[t].sum() == 3, (t, c[t])
+        assert not near[t], t

@@ -60,7 +60,7 @@ def dispatched_latency(model, cp, qp, batch, backend, reps, dtype):
     ref = jax.tree.map(
         lambda x: jnp.stack([x] * batch), wbc.Reference.standing(cp, dtype)
     )
-    cache = qpm.QPCache.zeros(batch, 42, 70, dtype) if backend == "pallas" else None
+    cache = qpm.make_cache(batch, 42, 70, qp, dtype) if backend == "pallas" else None
 
     @jax.jit
     def cycle(carry, cache, valid):
@@ -103,7 +103,7 @@ def scan_resident_cycle_time(model, cp, qp, T, backend, dtype, batch=1):
     ref = jax.tree.map(
         lambda x: jnp.stack([x] * batch), wbc.Reference.standing(cp, dtype)
     )
-    cache = qpm.QPCache.zeros(batch, 42, 70, dtype) if backend == "pallas" else None
+    cache = qpm.make_cache(batch, 42, 70, qp, dtype) if backend == "pallas" else None
 
     @jax.jit
     def run(carry, cache, valid):

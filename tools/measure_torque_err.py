@@ -72,7 +72,7 @@ def replay_torques(dtype_str):
                      "swing_vel", "swing_acc", "contacts")}
     )
     xs_new = jnp.asarray(traj["ref_is_new"])
-    cache = qpm.QPCache.zeros(B, 42, 70, dtype) if backend == "pallas" else None
+    cache = qpm.make_cache(B, 42, 70, qp, dtype) if backend == "pallas" else None
     carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
 
     @jax.jit
