@@ -226,7 +226,7 @@ def main():
 
     from quadrupedwholebodycontroller_tpu.ops import qp as qpm
 
-    cache = qpm.QPCache.zeros(batch, 42, 70, dtype) if backend == "pallas" else None
+    cache = qpm.make_cache(batch, 42, 70, qp, dtype) if backend == "pallas" else None
     carry = jax.tree.map(lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype))
 
     if mode == "evolving":
@@ -317,7 +317,7 @@ def main():
     ):
         d_step, d_len = make_diverse_step(model, cp, qp, batch, backend, dtype)
         d_cache = (
-            qpm.QPCache.zeros(batch, 42, 70, dtype)
+            qpm.make_cache(batch, 42, 70, qp, dtype)
             if backend == "pallas" else None
         )
         d_carry = jax.tree.map(

@@ -193,6 +193,20 @@ class QPSolverParams:
                                   # pre-round-3 behavior).  512 covers the
                                   # diverse 4-gait replay's worst step
                                   # (~495 switch edges at B=8192)
+    solve_layout: str = "major"   # "minor": the scaled-problem solve chain
+                                  # (fused-setup prepared outputs -> K build
+                                  # -> warm-NS K^-1 -> ADMM kernel inputs)
+                                  # stays batch-minor (dims..., B) end to
+                                  # end.  Batch-major (B, 42, 42)/(B, 70,
+                                  # 42) f32 arrays pad 42 lanes to 128
+                                  # (~3x HBM bytes) and pay a transpose
+                                  # into every kernel; batch-minor pads
+                                  # only sublanes and feeds the kernels'
+                                  # native tile layout directly.  Requires
+                                  # setup_backend pallas with fused prepare
+                                  # (the default production path); QPCache
+                                  # must be created with the matching
+                                  # layout (ops/qp.make_cache)
 
 
 def load_yaml_params(path: str):

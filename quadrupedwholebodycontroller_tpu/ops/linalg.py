@@ -132,6 +132,63 @@ def ns_inverse_warm_shared(A, warm, warm_iters: int):
     return jnp.where(finite, X, X0)
 
 
+def _bm_mm(X, Y):
+    """Batch-minor per-scenario matmul: (i, k, B), (k, j, B) -> (i, j, B).
+
+    Batch-minor (n, n, B) f32 arrays pad only sublanes (42 -> 48) where
+    batch-major (B, n, n) pads 42 lanes to 128 (~3x HBM bytes) — the
+    whole point of the batch-minor solve chain (see exp_batch_minor_chain)."""
+    return jnp.einsum("ikB,kjB->ijB", X, Y)
+
+
+def _bm_eye(n, dtype):
+    i0 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    return jnp.where(i0 == i1, 1.0, 0.0).astype(dtype)
+
+
+def _cold_init_bm(A):
+    """_cold_init in batch-minor (n, n, B) layout."""
+    d = jax.lax.rsqrt(jnp.abs(jnp.einsum("iiB->iB", A)) + 1e-30)
+    As = A * d[:, None, :] * d[None, :, :]
+    r1 = jnp.max(jnp.sum(jnp.abs(As), axis=1), axis=0)  # (B,) inf-norm
+    c1 = jnp.max(jnp.sum(jnp.abs(As), axis=0), axis=0)  # (B,) 1-norm
+    return As * (d[:, None, :] * d[None, :, :]) / (r1 * c1)[None, None, :]
+
+
+@full_precision
+def ns_inverse_bm(A, iters: int = 30):
+    """ns_inverse on batch-minor (n, n, B) arrays (cold start only)."""
+    eye2 = 2.0 * _bm_eye(A.shape[0], A.dtype)
+    X = _cold_init_bm(A)
+
+    def body(_, X):
+        return _bm_mm(X, eye2 - _bm_mm(A, X))
+
+    return jax.lax.fori_loop(0, iters, body, X, unroll=True)
+
+
+@full_precision
+def ns_inverse_warm_shared_bm(A, warm, warm_iters: int):
+    """ns_inverse_warm_shared on batch-minor (n, n, B) arrays.
+
+    Same semantics: the ||I - A W||_inf check rides iteration 1's matmul;
+    rejected warms fall back to the un-iterated Jacobi X0; a non-finite
+    final iterate never poisons the carried cache."""
+    assert warm_iters >= 1
+    eye = _bm_eye(A.shape[0], A.dtype)
+    X0 = _cold_init_bm(A)
+    M = _bm_mm(A, warm)
+    err = jnp.max(jnp.sum(jnp.abs(eye - M), axis=1), axis=0)  # (B,)
+    ok = (jnp.isfinite(err) & (err < 1e3))[None, None, :]
+    X = _bm_mm(warm, 2.0 * eye - M)
+    for _ in range(warm_iters - 1):
+        X = _bm_mm(X, 2.0 * eye - _bm_mm(A, X))
+    X = jnp.where(ok, X, X0)
+    finite = jnp.all(jnp.isfinite(X), axis=(0, 1), keepdims=True)
+    return jnp.where(finite, X, X0)
+
+
 @full_precision
 def spd_solve(A, b, iters: int = 30, refine: int = 2):
     """Solve A x = b (A SPD, b (..., n) or (..., n, k)).

@@ -212,26 +212,35 @@ def _zy_epilogue_kernel(Kinv_ref, A_ref, g_ref, Hs_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "alpha", "interpret")
+    jax.jit, static_argnames=("iters", "alpha", "interpret", "layout")
 )
 def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
                            Hs, l_orig, u_orig, d, e,
                            *, iters: int, alpha: float,
-                           interpret: bool = False):
-    """Constraint-space (sigma = 0) ADMM + residual epilogue, batch-major.
+                           interpret: bool = False, layout: str = "major"):
+    """Constraint-space (sigma = 0) ADMM + residual epilogue.
 
     Kinv (B,n,n) = K^{-1} in SCALED space; A/g/l/u/rho likewise scaled;
     A K^{-1} A^T, K^{-1} g and c = -A K^{-1} g are applied/formed on the
     VMEM-resident tiles in-kernel (no P matrix, no XLA matvecs).
-    The rest as admm_iterations_res.  Returns (x, z, y, pr, du)."""
-    B, m, n = A.shape
+    The rest as admm_iterations_res.  Returns (x, z, y, pr, du) batch-major.
+
+    layout="minor": the scaled problem (Kinv, A, g, l, u, rho, Hs, d, e)
+    arrives ALREADY batch-minor (dims..., B) — straight from the fused
+    setup kernel's prepared_layout="minor" outputs and the batch-minor
+    K-chain (ops/linalg.ns_inverse_*_bm) — so the boundary to_tile
+    transposes vanish for every matrix input.  Warm starts x0/z0/y0 and
+    the original bounds stay batch-major (cheap vector tiles)."""
+    if layout == "minor":
+        m, n = A.shape[0], A.shape[1]
+        B = A.shape[-1]
+    else:
+        B, m, n = A.shape
     dtype = A.dtype
     Bt = LANE_TILE
     Bp = -(-B // Bt) * Bt
 
     big = jnp.asarray(1e20, dtype)
-    l = jnp.clip(l, -big, big)
-    u = jnp.clip(u, -big, big)
     l_orig = jnp.clip(l_orig, -big, big)
     u_orig = jnp.clip(u_orig, -big, big)
 
@@ -243,6 +252,20 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
         perm = tuple(range(1, arr.ndim)) + (0,)
         return jnp.transpose(arr, perm)
 
+    def pad_minor(arr, fill=None):
+        """Pad a batch-minor (dims..., B) array's lane axis to Bp."""
+        if Bp == B:
+            return arr
+        pad = [(0, 0)] * (arr.ndim - 1) + [(0, Bp - B)]
+        arr = jnp.pad(arr, pad)
+        if fill is not None:
+            arr = arr.at[..., B:].set(fill)
+        return arr
+
+    prob_tile = pad_minor if layout == "minor" else to_tile
+    l = jnp.clip(l, -big, big)
+    u = jnp.clip(u, -big, big)
+
     grid = (Bp // Bt,)
     mat_spec = lambda d0, d1: pl.BlockSpec(
         (d0, d1, Bt), lambda i: (0, 0, i), memory_space=pltpu.VMEM
@@ -250,9 +273,9 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
     vec_spec = lambda d0: pl.BlockSpec(
         (d0, Bt), lambda i: (0, i), memory_space=pltpu.VMEM
     )
-    Kinv_t = to_tile(Kinv)
-    A_t = to_tile(A)
-    g_t = to_tile(g)
+    Kinv_t = prob_tile(Kinv)
+    A_t = prob_tile(A)
+    g_t = prob_tile(g)
 
     loop_kernel = functools.partial(
         _admm_zy_kernel, iters=iters, alpha=float(alpha)
@@ -272,8 +295,8 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((m, Bp), dtype),
         ),
         interpret=interpret,
-    )(Kinv_t, A_t, g_t, to_tile(l), to_tile(u),
-      to_tile(rho, fill=1.0), to_tile(z0), to_tile(y0))
+    )(Kinv_t, A_t, g_t, prob_tile(l), prob_tile(u),
+      prob_tile(rho, fill=1.0), to_tile(z0), to_tile(y0))
 
     epi_kernel = functools.partial(
         _zy_epilogue_kernel, iters=iters, alpha=float(alpha)
@@ -294,10 +317,10 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
         interpret=interpret,
-    )(Kinv_t, A_t, g_t, to_tile(Hs),
+    )(Kinv_t, A_t, g_t, prob_tile(Hs),
       to_tile(x0), Vo, yo,
       to_tile(l_orig), to_tile(u_orig),
-      to_tile(d, fill=1.0), to_tile(e, fill=1.0))
+      prob_tile(d, fill=1.0), prob_tile(e, fill=1.0))
 
     back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
     return (back(xo), back(zo), back(yo),
@@ -378,20 +401,27 @@ def admm_iterations(Kinv, A, g, l, u, rho, x0, z0, y0,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret")
+    jax.jit, static_argnames=("iters", "sigma", "alpha", "interpret", "layout")
 )
 def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
                         Hs, l_orig, u_orig, d, e,
                         *, iters: int, sigma: float, alpha: float,
-                        interpret: bool = False):
+                        interpret: bool = False, layout: str = "major"):
     """ADMM iterations plus the candidate's UNSCALED relative KKT residuals
     in one kernel pass (matches ops/qp.kkt_residual).
 
     Same scaled batch-major inputs as admm_iterations, plus the scaled
     Hessian Hs (B,n,n), ORIGINAL bounds l_orig/u_orig (B,m), and the Ruiz
     scalings d (B,n), e (B,m).  Returns (x, z, y, pr, du) batch-major in
-    scaled space (x,z,y) / unscaled residuals (pr, du)."""
-    B, m, n = A.shape
+    scaled space (x,z,y) / unscaled residuals (pr, du).
+
+    layout="minor" as in admm_zy_iterations_res: the scaled problem
+    (Kinv, A, g, l, u, rho, Hs, d, e) is already batch-minor."""
+    if layout == "minor":
+        m, n = A.shape[0], A.shape[1]
+        B = A.shape[-1]
+    else:
+        B, m, n = A.shape
     dtype = A.dtype
     Bt = LANE_TILE
     Bp = -(-B // Bt) * Bt
@@ -409,6 +439,17 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             arr = arr.at[B:].set(fill)
         perm = tuple(range(1, arr.ndim)) + (0,)
         return jnp.transpose(arr, perm)
+
+    def pad_minor(arr, fill=None):
+        if Bp == B:
+            return arr
+        pad = [(0, 0)] * (arr.ndim - 1) + [(0, Bp - B)]
+        arr = jnp.pad(arr, pad)
+        if fill is not None:
+            arr = arr.at[..., B:].set(fill)
+        return arr
+
+    prob_tile = pad_minor if layout == "minor" else to_tile
 
     grid = (Bp // Bt,)
     mat_spec = lambda d0, d1: pl.BlockSpec(
@@ -440,10 +481,11 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
         interpret=interpret,
-    )(to_tile(Kinv), to_tile(A), to_tile(g), to_tile(l), to_tile(u),
-      to_tile(rho, fill=1.0), to_tile(x0), to_tile(z0), to_tile(y0),
-      to_tile(Hs), to_tile(l_orig), to_tile(u_orig),
-      to_tile(d, fill=1.0), to_tile(e, fill=1.0))
+    )(prob_tile(Kinv), prob_tile(A), prob_tile(g), prob_tile(l),
+      prob_tile(u), prob_tile(rho, fill=1.0),
+      to_tile(x0), to_tile(z0), to_tile(y0),
+      prob_tile(Hs), to_tile(l_orig), to_tile(u_orig),
+      prob_tile(d, fill=1.0), prob_tile(e, fill=1.0))
 
     back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
     return (back(xo), back(zo), back(yo),

@@ -893,17 +893,22 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
 @functools.partial(
     jax.jit,
     static_argnames=("const_arrays", "params", "qp_params", "interpret",
-                     "stop_after"),
+                     "stop_after", "prep_layout"),
 )
 def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
                 rpose, rvel, racc, spos, svel, sacc, rcon,
                 oldT_top, oldJst, oldJsw, tdinv_top, integ, prevc,
                 swflag, derivv, refnew, wx=None, wz=None, wy=None,
-                *, qp_params=None, interpret=False, stop_after=None):
+                *, qp_params=None, interpret=False, stop_after=None,
+                prep_layout="major"):
     """Batch-major pallas wrapper (const_arrays: hashable tuple-of-tuples).
 
     With qp_params (and warm wx/wz/wy), the fused-prepare kernel variant
-    additionally returns the Ruiz-scaled problem."""
+    additionally returns the Ruiz-scaled problem.  prep_layout="minor"
+    keeps THOSE outputs in the kernel's native batch-minor (dims..., Bp)
+    layout — the batch-minor solve chain consumes them directly, skipping
+    the back()/to_tile round trip (each padded batch-major (B, 42, 42)
+    f32 array costs ~3x the HBM bytes of its batch-minor form)."""
     const = _unpack_const(const_arrays)
     B = p0.shape[0]
     dtype = p0.dtype
@@ -973,6 +978,10 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
         perm = (a.ndim - 1,) + tuple(range(a.ndim - 1))
         return jnp.transpose(a, perm)[:B]
 
+    if qp_params is not None and prep_layout == "minor":
+        return tuple(back(o) for o in outs[:13]) + tuple(
+            o[..., :B] for o in outs[13:]
+        )
     return tuple(back(o) for o in outs)
 
 
@@ -1010,7 +1019,7 @@ def _unpack_const(packed):
 
 def setup_batched(model, params, obs, ref, carry, ref_is_new,
                   interpret: bool | None = None, qp_params=None,
-                  stop_after=None):
+                  stop_after=None, prepared_layout="major"):
     """Fused-kernel replacement for vmap(wbc_setup) (batch-major API).
 
     Returns the same pieces as control/wbc.WBCSetup, as a dict:
@@ -1063,6 +1072,7 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
         qp_params=qp_params,
         interpret=interpret,
         stop_after=stop_after,
+        prep_layout=prepared_layout,
     )
     prepared = None
     if qp_params is not None:

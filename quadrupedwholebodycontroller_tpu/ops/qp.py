@@ -67,17 +67,30 @@ class QPCache(NamedTuple):
     (quadratic) iterations instead of the cold ~30.  Valid only while the
     problem changes smoothly — invalidate across contact switches."""
 
-    kinv: jax.Array  # (B, n, n) inverse of the scaled ADMM matrix K
+    kinv: jax.Array  # (B, n, n) inverse of the scaled ADMM matrix K —
+    #                  (n, n, B) batch-minor when solve_layout == "minor"
     hinv: jax.Array  # (B, n, n) inverse of the polish H + reg I
     sinv: jax.Array  # (B, m, m) inverse of the last polish Schur complement
 
     @classmethod
-    def zeros(cls, B: int, n: int, m: int, dtype=jnp.float32) -> "QPCache":
+    def zeros(cls, B: int, n: int, m: int, dtype=jnp.float32,
+              layout: str = "major") -> "QPCache":
+        """layout="minor": kinv is stored batch-minor (n, n, B) so the
+        batch-minor K-chain (solve_layout="minor", the padded-HBM-traffic
+        fix) warm-starts without boundary transposes.  Use
+        make_cache(B, n, m, params, dtype) to match QPSolverParams."""
+        kshape = (n, n, B) if layout == "minor" else (B, n, n)
         return cls(
-            kinv=jnp.zeros((B, n, n), dtype),
+            kinv=jnp.zeros(kshape, dtype),
             hinv=jnp.zeros((B, n, n), dtype),
             sinv=jnp.zeros((B, m, m), dtype),
         )
+
+
+def make_cache(B: int, n: int, m: int, params: QPSolverParams,
+               dtype=jnp.float32) -> QPCache:
+    """QPCache.zeros with the kinv layout matching params.solve_layout."""
+    return QPCache.zeros(B, n, m, dtype, layout=params.solve_layout)
 
 
 def _bound_finite(x):
@@ -527,6 +540,7 @@ def solve_batched(
     use_warm=None,
     hinv_fn=None,
     prepared=None,
+    prepared_layout: str = "major",
 ):
     """Batched solve over a leading batch axis on every leaf.
 
@@ -555,7 +569,16 @@ def solve_batched(
     e.g. the fused setup kernel (ops/pallas/setup_kernel.setup_batched with
     qp_params) — skipping the standalone prepare kernel launch.  Note the
     warm scaling in `prepared` must already include any switch masking;
-    `warm` is still used for the unscaled cold-start detection."""
+    `warm` is still used for the unscaled cold-start detection.
+
+    prepared_layout="minor": every `prepared` leaf is batch-minor
+    (dims..., B) — setup_batched(prepared_layout="minor") — and the whole
+    scaled solve chain (K build, warm-NS K^-1, ADMM kernel inputs) stays
+    batch-minor: no padded batch-major (B, 42, 42) HBM round trips, no
+    boundary transposes (params.solve_layout documents the rationale).
+    The cache's kinv must then be batch-minor too (make_cache).  The
+    unscaled problem (`data`), the polish, and the rescue stay batch-major
+    (the rescue's transposes trace inside its fire branch only)."""
     if backend == "xla":
         # the single-sample rescue cond would lower to a both-branches
         # select under vmap — disable it and rescue at batch level instead
@@ -596,13 +619,39 @@ def solve_batched(
                 rho_eq_scale=params.rho_eq_scale,
             )
         )
-    sdata = QPData(H=sH, g=sg, A=sA, l=sl, u=su)
-    warm_s = QPState(x=wxs, z=wzs, y=wys)
-    K = (
-        sH
-        + params.sigma * jnp.eye(n, dtype=dtype)
-        + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
-    )
+    minor = prepared is not None and prepared_layout == "minor"
+    if minor and cache is not None and cache.kinv.shape[-1] != data.H.shape[0]:
+        raise ValueError(
+            "prepared_layout='minor' needs a batch-minor kinv cache "
+            f"(n, n, B) — got {cache.kinv.shape}; create it with "
+            "ops.qp.make_cache(B, n, m, params, dtype)"
+        )
+    if minor:
+        # batch-minor K build: (n, n, B) pads only sublanes 42 -> 48 where
+        # (B, n, n) pads 42 lanes to 128 (~3x the HBM bytes per pass)
+        from quadrupedwholebodycontroller_tpu.ops.linalg import _bm_eye
+
+        _tr_min = lambda a: jnp.transpose(
+            a, (a.ndim - 1,) + tuple(range(a.ndim - 1))
+        )
+        K = (
+            sH
+            + params.sigma * _bm_eye(n, dtype)
+            + jnp.einsum("mnB,mB,mkB->nkB", sA, rho, sA)
+        )
+        # vectors the batch-major tail (unscale, cold-start gate) needs
+        dscale_mj, escale_mj = _tr_min(dscale), _tr_min(escale)
+        warm_s = QPState(x=_tr_min(wxs), z=_tr_min(wzs), y=_tr_min(wys))
+        sdata = None  # the rescue branch rebuilds batch-major lazily
+    else:
+        sdata = QPData(H=sH, g=sg, A=sA, l=sl, u=su)
+        warm_s = QPState(x=wxs, z=wzs, y=wys)
+        dscale_mj, escale_mj = dscale, escale
+        K = (
+            sH
+            + params.sigma * jnp.eye(n, dtype=dtype)
+            + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
+        )
 
     wi_polish = (
         params.ns_warm_iters_polish
@@ -700,7 +749,73 @@ def solve_batched(
 
         return inv
 
-    Kinv = make_inv(cache.kinv if cache is not None else None)(K)
+    def make_inv_k_bm(warm_arr):
+        """make_inv for the batch-minor (n, n, B) K chain: same gating
+        (scalar / per-scenario compacted cold fix), bm NS kernels."""
+        from quadrupedwholebodycontroller_tpu.ops.linalg import (
+            _cold_init_bm,
+            ns_inverse_bm,
+            ns_inverse_warm_shared_bm,
+        )
+
+        wi = params.ns_warm_iters
+        if cache is None or (use_warm is None and warm_mask is None):
+            return lambda M: ns_inverse_bm(M, params.ns_iters)
+
+        def warm_update(M):
+            if wi >= 1:
+                return ns_inverse_warm_shared_bm(M, warm_arr, wi)
+            # wi == 0: safeguarded pass-through of the carried inverse
+            from quadrupedwholebodycontroller_tpu.ops.linalg import (
+                _bm_eye,
+                _bm_mm,
+            )
+
+            E = _bm_eye(M.shape[0], M.dtype) - _bm_mm(M, warm_arr)
+            err = jnp.max(jnp.sum(jnp.abs(E), axis=1), axis=0)
+            ok = (jnp.isfinite(err) & (err < 1e3))[None, None, :]
+            return jnp.where(ok, warm_arr, _cold_init_bm(M))
+
+        def _compact_cold_fix_bm(X, M, keep_warm):
+            Mc = jnp.take(M, cold_idx, axis=-1)
+            Xc = ns_inverse_bm(Mc, params.ns_iters)
+            if keep_warm:
+                sel = jnp.take(warm_mask, cold_idx)
+                Xc = jnp.where(sel[None, None, :],
+                               jnp.take(X, cold_idx, axis=-1), Xc)
+            return X.at[..., cold_idx].set(Xc)
+
+        if warm_mask is not None:
+            def inv(M):
+                def full_cold(_):
+                    return ns_inverse_bm(M, params.ns_iters)
+
+                def mixed(_):
+                    return jax.lax.cond(
+                        n_cold > 0,
+                        lambda X: _compact_cold_fix_bm(X, M, keep_warm=True),
+                        lambda X: X,
+                        warm_update(M),
+                    )
+
+                return jax.lax.cond(n_cold > kcold, full_cold, mixed, None)
+
+            return inv
+
+        def inv(M):
+            return jax.lax.cond(
+                use_warm,
+                lambda: warm_update(M),
+                lambda: ns_inverse_bm(M, params.ns_iters),
+            )
+
+        return inv
+
+    Kinv = (
+        make_inv_k_bm(cache.kinv if cache is not None else None)(K)
+        if minor
+        else make_inv(cache.kinv if cache is not None else None)(K)
+    )
 
     if params.sigma == 0.0:
         # constraint-space iteration (ops/pallas/qp_kernel._admm_zy_kernel):
@@ -711,9 +826,10 @@ def solve_batched(
         def run_admm(x0, z0, y0, iters, Ki=None):
             return qp_kernel.admm_zy_iterations_res(
                 Kinv if Ki is None else Ki,
-                sdata.A, sdata.g, sdata.l, sdata.u, rho,
-                x0, z0, y0, sdata.H, data.l, data.u, dscale, escale,
+                sA, sg, sl, su, rho,
+                x0, z0, y0, sH, data.l, data.u, dscale, escale,
                 iters=iters, alpha=params.alpha,
+                layout="minor" if minor else "major",
             )
     else:
         def run_admm(x0, z0, y0, iters, Ki=None):
@@ -721,9 +837,10 @@ def solve_batched(
             # one VMEM pass (ops/pallas/qp_kernel.admm_iterations_res)
             return qp_kernel.admm_iterations_res(
                 Kinv if Ki is None else Ki,
-                sdata.A, sdata.g, sdata.l, sdata.u, rho, x0, z0, y0,
-                sdata.H, data.l, data.u, dscale, escale,
+                sA, sg, sl, su, rho, x0, z0, y0,
+                sH, data.l, data.u, dscale, escale,
                 iters=iters, sigma=params.sigma, alpha=params.alpha,
+                layout="minor" if minor else "major",
             )
 
     x, z, y, pr_b, du_b = run_admm(
@@ -744,7 +861,7 @@ def solve_batched(
             lambda st: (st[0], st[1], st[2], pr_b, du_b),
             (x, z, y),
         )
-    admm = QPState(x=dscale * x, z=z / escale, y=escale * y)
+    admm = QPState(x=dscale_mj * x, z=z / escale_mj, y=escale_mj * y)
 
     # polish at batch level so the cached inverses stay batched
     n_ = data.H.shape[-1]
@@ -1009,20 +1126,43 @@ def solve_batched(
         # the rescue runs under stop_gradient (see _ad_passthrough): sg'd
         # copies of every closed-over array keep the while_loop free of
         # differentiable inputs so reverse AD never has to transpose it
-        K_g, sdata_g, rho_g, data_g, d_g, e_g = _sg(
-            (K, sdata, rho, data, dscale, escale)
-        )
+        if minor:
+            # batch-minor solve chain: sg the minor arrays; the batch-major
+            # views the (batch-major) rescue needs are built INSIDE the
+            # fire path, so their transposes cost nothing on clean steps
+            K_mn, sH_mn, sA_mn, sg_mn, sl_mn, su_mn, rho_mn, d_mn, e_mn = (
+                _sg((K, sH, sA, sg, sl, su, rho, dscale, escale))
+            )
+            data_g = _sg(data)
+        else:
+            K_g, sdata_g, rho_g, data_g, d_g, e_g = _sg(
+                (K, sdata, rho, data, dscale, escale)
+            )
         Hp_g, Hip_g, G2_g, tiles_g = _sg(
             (H_polish, Hinv_polish, G2_pol, tiles_pol)
+        )
+
+        _back_minor = lambda a: jnp.transpose(
+            a, (a.ndim - 1,) + tuple(range(a.ndim - 1))
         )
 
         def _rescue(args):
             best, pr_b, du_b, res_b, polished = args
             if not compact_rescue:
+                if minor:
+                    Kr = _back_minor(K_mn)
+                    sdatar = QPData(H=_back_minor(sH_mn), g=_back_minor(sg_mn),
+                                    A=_back_minor(sA_mn), l=_back_minor(sl_mn),
+                                    u=_back_minor(su_mn))
+                    rhor, dr, er = (_back_minor(rho_mn), _back_minor(d_mn),
+                                    _back_minor(e_mn))
+                else:
+                    Kr, sdatar, rhor, dr, er = (K_g, sdata_g, rho_g, d_g,
+                                                e_g)
                 return _rescue_core(
                     best, pr_b, du_b, res_b, polished,
-                    K_g, sdata_g.A, sdata_g.g, sdata_g.l, sdata_g.u, rho_g,
-                    sdata_g.H, data_g.l, data_g.u, d_g, e_g,
+                    Kr, sdatar.A, sdatar.g, sdatar.l, sdatar.u, rhor,
+                    sdatar.H, data_g.l, data_g.u, dr, er,
                     data_g, Hp_g, Hip_g,
                     G2=G2_g, tiles=tiles_g,
                 )
@@ -1030,6 +1170,14 @@ def solve_batched(
 
             def take(a):
                 return jnp.take(a, idx, axis=0)
+
+            if minor:
+                # gather the k worst on the LANE axis first, then transpose
+                # only the (k, ...) sub-batch to batch-major for the rescue
+                def take_s(a):
+                    return _back_minor(jnp.take(a, idx, axis=-1))
+            else:
+                take_s = None
 
             def take_pol(t):
                 if t is None:
@@ -1042,13 +1190,21 @@ def solve_batched(
             data_c = QPData(H=take(data_g.H), g=take(data_g.g),
                             A=take(data_g.A), l=take(data_g.l),
                             u=take(data_g.u))
+            if minor:
+                scaled_c = (take_s(K_mn), take_s(sA_mn), take_s(sg_mn),
+                            take_s(sl_mn), take_s(su_mn), take_s(rho_mn),
+                            take_s(sH_mn), take_s(d_mn), take_s(e_mn))
+            else:
+                scaled_c = (take(K_g), take(sdata_g.A), take(sdata_g.g),
+                            take(sdata_g.l), take(sdata_g.u), take(rho_g),
+                            take(sdata_g.H), take(d_g), take(e_g))
+            (K_c, sA_c, sg_c, sl_c, su_c, rho_c, sH_c, d_c, e_c) = scaled_c
             # G2/tiles are full-batch invariants — the compact polish
             # re-derives them from the gathered data (cheap at k rows)
             best_c, pr_c, du_c, res_c, pol_c = _rescue_core(
                 best_c, take(pr_b), take(du_b), take(res_b), take(polished),
-                take(K_g), take(sdata_g.A), take(sdata_g.g), take(sdata_g.l),
-                take(sdata_g.u), take(rho_g), take(sdata_g.H),
-                take(data_g.l), take(data_g.u), take(d_g), take(e_g),
+                K_c, sA_c, sg_c, sl_c, su_c, rho_c, sH_c,
+                take(data_g.l), take(data_g.u), d_c, e_c,
                 data_c, take_pol(Hp_g), take_pol(Hip_g),
             )
             best = QPState(

@@ -197,7 +197,8 @@ def batched_rollout(
         else jnp.zeros((T, B, 6), dtype)
     )
     commands_tm = jnp.swapaxes(commands, 0, 1)
-    cache0 = QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+    cache0 = QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype,
+                           layout=qparams.solve_layout)
 
     def step(sc, xs):
         carry, cache, cache_valid, alive = sc

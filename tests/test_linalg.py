@@ -138,3 +138,48 @@ def test_ns_inverse_warm_shared_matches():
     assert bool(jnp.all(jnp.isfinite(got_b)))
     # good lanes unaffected by the bad ones
     assert float(jnp.max(jnp.abs(got_b[0] - want[0]))) == 0.0
+
+
+def test_ns_inverse_bm_matches_batch_major():
+    """Batch-minor (n, n, B) NS functions == their batch-major versions
+    (same matmul sequence expressed as trailing-batch einsums; f64 exact
+    to roundoff-reassociation, checked tight)."""
+    import numpy as np
+
+    from quadrupedwholebodycontroller_tpu.ops.linalg import (
+        ns_inverse,
+        ns_inverse_bm,
+        ns_inverse_warm_shared,
+        ns_inverse_warm_shared_bm,
+    )
+
+    rng = np.random.default_rng(7)
+    B, n = 32, 42
+    M = rng.normal(size=(B, n, 12))
+    A = jnp.asarray(M @ np.swapaxes(M, 1, 2) + np.eye(n), jnp.float64)
+    A_t = jnp.transpose(A, (1, 2, 0))
+
+    cold_maj = ns_inverse(A, 30)
+    cold_bm = jnp.transpose(ns_inverse_bm(A_t, 30), (2, 0, 1))
+    assert float(jnp.max(jnp.abs(cold_maj - cold_bm))) < 1e-12
+
+    A2 = A * (1.0 + 1e-3 * jnp.asarray(rng.normal(size=(B, 1, 1))))
+    warm_maj = ns_inverse_warm_shared(A2, cold_maj, 2)
+    warm_bm = jnp.transpose(
+        ns_inverse_warm_shared_bm(
+            jnp.transpose(A2, (1, 2, 0)), jnp.transpose(cold_maj, (1, 2, 0)), 2
+        ),
+        (2, 0, 1),
+    )
+    assert float(jnp.max(jnp.abs(warm_maj - warm_bm))) < 1e-12
+
+    # poisoned warm lanes fall back finite without contaminating others
+    bad = cold_maj.at[1].set(jnp.nan).at[3].set(cold_maj[3] * 1e9)
+    got = jnp.transpose(
+        ns_inverse_warm_shared_bm(
+            jnp.transpose(A2, (1, 2, 0)), jnp.transpose(bad, (1, 2, 0)), 2
+        ),
+        (2, 0, 1),
+    )
+    assert bool(jnp.all(jnp.isfinite(got)))
+    assert float(jnp.max(jnp.abs(got[0] - warm_maj[0]))) < 1e-12

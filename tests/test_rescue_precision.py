@@ -267,7 +267,7 @@ def test_cache_gate_fires_on_switch_edge_only(rng, monkeypatch):
         )
         carry = jax.tree.map(lambda x: jnp.stack([x] * B),
                              wbc.init_carry(dtype))
-        cache = qpm.QPCache.zeros(B, 42, 70, dtype)
+        cache = qpm.make_cache(B, 42, 70, p, dtype)
         # step 1: cold (cache invalid)
         _, carry, cache = wbc.wbc_step_batched(
             model, cp, p, obs, ref, carry, True, "pallas", cache, False)

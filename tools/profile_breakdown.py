@@ -72,7 +72,7 @@ def main():
     )
     ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype))
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache0 = qpm.QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+    cache0 = qpm.make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qp, dtype)
 
     # ---- 1. full step (the bench) ----
     @jax.jit

@@ -60,7 +60,7 @@ def main():
         qd=0.05 * jax.random.normal(k4, (B, 12), dtype),
     )
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache0 = qpm.QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+    cache0 = qpm.make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qp, dtype)
 
     def timed(name, cp, setup_backend):
         ref = jax.tree.map(

@@ -40,6 +40,15 @@ from quadrupedwholebodycontroller_tpu.planner import gait
 
 CONFIGS = {
     "default": QPSolverParams(),
+    # batch-minor solve chain (round 3): prepared tensors stay in the
+    # setup kernel's native batch-minor layout; K build + warm-NS K^-1 run
+    # as trailing-batch einsums; the ADMM kernel consumes the tiles
+    # directly (no back()/to_tile boundary transposes, no padded
+    # batch-major (B,42,42) HBM round trips)
+    "layout_minor": QPSolverParams(solve_layout="minor"),
+    "layout_minor_norescue": QPSolverParams(
+        solve_layout="minor", rescue_threshold=0.0
+    ),
     # the round-2 rescue (single stage, no compensated refinement,
     # batch-level warm gate) — isolates the round-3 additions
     "r2_rescue": QPSolverParams(
@@ -127,7 +136,7 @@ def bench_speed(qp):
     )
     ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(ControllerParams(), dtype))
     carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache = qpm.QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype)
+    cache = qpm.make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qp, dtype)
 
     @jax.jit
     def multi(carry, cache, valid):

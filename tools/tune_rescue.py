@@ -81,11 +81,12 @@ def main():
                    if any(s in n for s in keep)}
 
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache0 = qpm.QPCache.zeros(B, 42, 70, dtype) if backend == "pallas" else None
 
     mk = make_diverse_step if MODE == "diverse" else make_evolving_step
     results = {}
     for name, qp in configs.items():
+        cache0 = (qpm.make_cache(B, 42, 70, qp, dtype)
+                  if backend == "pallas" else None)
         multi_step, scan_len = mk(model, cp, qp, B, backend, dtype)
         carry, cache, ts, kk, cnt = multi_step(carry0, cache0, False)
         jax.block_until_ready(ts)
