@@ -526,6 +526,7 @@ def wbc_step_batched(
     if setup_backend == "auto":
         setup_backend = "pallas" if qp_backend == "pallas" else "xla"
     prepared = None
+    prepared_tiles = None
     prep_layout = "major"
     if setup_backend == "pallas":
         from quadrupedwholebodycontroller_tpu.ops.pallas import setup_kernel
@@ -541,6 +542,7 @@ def wbc_step_batched(
             prepared_layout=prep_layout,
         )
         prepared = sk["prepared"]
+        prepared_tiles = sk.get("tiles_minor")
         setup = WBCSetup(
             qp_data=qp.QPData(
                 H=sk["H"], g=sk["g"], A=sk["A"], l=sk["l"], u=sk["u"]
@@ -560,6 +562,10 @@ def wbc_step_batched(
                 model, params, obs, carry, setup, prepared,
                 prepared_layout=prep_layout,
             )
+            # the epilogue patched data.l/u; the kernel's raw batch-minor
+            # l/u copies are stale FD values — fall back to tiling the
+            # patched batch-major bounds in the polish
+            prepared_tiles = None
     else:
         setup = jax.vmap(
             lambda o, r, c, rn: wbc_setup(model, params, o, r, c, rn)
@@ -593,12 +599,14 @@ def wbc_step_batched(
             setup.qp_data, warm, qp_params, qp_backend,
             cache=qp_cache, use_warm=use_warm, hinv_fn=hinv_fn,
             prepared=prepared, prepared_layout=prep_layout,
+            prepared_tiles=prepared_tiles,
         )
         out, new_carry = jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
         return out, new_carry, new_cache
     qp_state, qp_info = qp.solve_batched(
         setup.qp_data, warm, qp_params, qp_backend, hinv_fn=hinv_fn,
         prepared=prepared, prepared_layout=prep_layout,
+        prepared_tiles=prepared_tiles,
     )
     return jax.vmap(_finish_step)(setup, qp_state, qp_info, carry)
 

@@ -158,7 +158,7 @@ def _to_tile(arr, Bsz, Bp):
     return jnp.transpose(arr, perm)
 
 
-def polish_tiles(H, Hinv, A, g, l, u):
+def polish_tiles(H, Hinv, A, g, l, u, pre_tiled=None):
     """Pre-tile the polish-round-INVARIANT kernel inputs (batch-minor).
 
     The iterated active-set polish (ops/qp.solve_batched) calls
@@ -168,15 +168,33 @@ def polish_tiles(H, Hinv, A, g, l, u):
 
     H and Hinv may each be a dense (B, n, n) array or a compact
     block-diagonal (diag (B, n), blk (B, k, k), start) tuple — diag MUST
-    be zero on the block rows."""
+    be zero on the block rows.
+
+    pre_tiled: optional dict with ALREADY batch-minor A (m, n, B) / g / l
+    / u — straight from the fused setup kernel's native-layout outputs
+    (ops/pallas/setup_kernel tiles_minor), skipping their boundary
+    transposes entirely.  A is still required batch-major for Bsz."""
     Bsz = A.shape[0]
     Bp = -(-Bsz // LANE_TILE) * LANE_TILE
-    big = jnp.asarray(1e20, l.dtype)
-    l = jnp.clip(l, -big, big)
-    u = jnp.clip(u, -big, big)
     t = lambda a: _to_tile(a, Bsz, Bp)
-    tiles = dict(A=t(A), g=t(g), l=t(l), u=t(u), Bsz=Bsz, Bp=Bp,
-                 n=A.shape[-1])
+    big = jnp.asarray(1e20, l.dtype)
+    if pre_tiled is not None:
+        def pm(a):
+            if Bp == a.shape[-1]:
+                return a
+            return jnp.pad(a, [(0, 0)] * (a.ndim - 1)
+                           + [(0, Bp - a.shape[-1])])
+        tiles = dict(
+            A=pm(pre_tiled["A"]), g=pm(pre_tiled["g"]),
+            l=pm(jnp.clip(pre_tiled["l"], -big, big)),
+            u=pm(jnp.clip(pre_tiled["u"], -big, big)),
+            Bsz=Bsz, Bp=Bp, n=A.shape[-1],
+        )
+    else:
+        l = jnp.clip(l, -big, big)
+        u = jnp.clip(u, -big, big)
+        tiles = dict(A=t(A), g=t(g), l=t(l), u=t(u), Bsz=Bsz, Bp=Bp,
+                     n=A.shape[-1])
     compact = isinstance(H, tuple)
     assert compact == isinstance(Hinv, tuple), "H/Hinv forms must match"
     tiles["compact"] = compact
@@ -241,7 +259,7 @@ def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
 
 def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
                  *, refine: int, reg: float, interpret: bool = False,
-                 tiles=None):
+                 tiles=None, sinv_layout: str = "major"):
     """Batch-major wrapper: inputs (B, ...) -> (x, y, z, pr, du) batch-major.
 
     H is the REGULARIZED polish Hessian (H + reg I); da the active-row mask;
@@ -249,13 +267,26 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
     Hinv may be dense or compact block-diagonal tuples (see polish_tiles).
 
     tiles: optional pre-tiled invariants from polish_tiles (then H, Hinv,
-    A, g, l, u may be None)."""
+    A, g, l, u may be None).
+
+    sinv_layout="minor": Sinv is ALREADY batch-minor (m, m, B) — e.g. the
+    carried cache in the batch-minor solve chain (ops/qp solve_layout) —
+    so the (B, 70, 70) boundary transpose (the largest single tensor the
+    polish shuttles) is skipped entirely."""
     if tiles is None:
         tiles = polish_tiles(H, Hinv, A, g, l, u)
     Bsz, Bp = tiles["Bsz"], tiles["Bp"]
     t = lambda a: _to_tile(a, Bsz, Bp)
+    if sinv_layout == "minor":
+        Sinv_t = (
+            Sinv if Bp == Sinv.shape[-1]
+            else jnp.pad(Sinv, [(0, 0)] * (Sinv.ndim - 1)
+                         + [(0, Bp - Sinv.shape[-1])])
+        )
+    else:
+        Sinv_t = t(Sinv)
     x, y, z, pr, du = _polish_call(
-        tiles, t(Sinv), t(da), t(b),
+        tiles, Sinv_t, t(da), t(b),
         refine=refine, reg=reg, interpret=interpret,
     )
     back = lambda a: jnp.transpose(a, (1, 0))[:Bsz]

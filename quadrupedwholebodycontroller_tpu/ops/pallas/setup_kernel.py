@@ -979,8 +979,13 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
         return jnp.transpose(a, perm)[:B]
 
     if qp_params is not None and prep_layout == "minor":
-        return tuple(back(o) for o in outs[:13]) + tuple(
-            o[..., :B] for o in outs[13:]
+        # append RAW batch-minor copies of the unscaled A/g/l/u (outs
+        # 0..3) — already materialized by the kernel in its native
+        # layout, so the polish tiles can skip their boundary transposes
+        return (
+            tuple(back(o) for o in outs[:13])
+            + tuple(o[..., :B] for o in outs[13:])
+            + tuple(outs[i][..., :B] for i in range(4))
         )
     return tuple(back(o) for o in outs)
 
@@ -1075,8 +1080,13 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
         prep_layout=prepared_layout,
     )
     prepared = None
+    tiles_minor = None
     if qp_params is not None:
-        outs, prep = outs[:13], outs[13:]
+        if prepared_layout == "minor":
+            outs, prep, raw = outs[:13], outs[13:24], outs[24:]
+            tiles_minor = dict(A=raw[0], g=raw[1], l=raw[2], u=raw[3])
+        else:
+            outs, prep = outs[:13], outs[13:]
         prepared = tuple(prep)
     (A, g, lb, ub, Hblk, h_c, com, foot_pos, T_top, tdnew_top, integ_new,
      prevc_new, sw) = outs
@@ -1098,6 +1108,7 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
     rpy_pose = jnp.concatenate([com, rpy], axis=-1)
     return dict(
         H=H, g=g, A=A, l=lb, u=ub, prepared=prepared,
+        tiles_minor=tiles_minor,
         h_c=h_c,
         Mc_jj=A[:, 34:46, 6:18],
         Jc_st_j=A[:, 6:18, 6:18],

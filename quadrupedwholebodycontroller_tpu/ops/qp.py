@@ -75,15 +75,17 @@ class QPCache(NamedTuple):
     @classmethod
     def zeros(cls, B: int, n: int, m: int, dtype=jnp.float32,
               layout: str = "major") -> "QPCache":
-        """layout="minor": kinv is stored batch-minor (n, n, B) so the
-        batch-minor K-chain (solve_layout="minor", the padded-HBM-traffic
-        fix) warm-starts without boundary transposes.  Use
-        make_cache(B, n, m, params, dtype) to match QPSolverParams."""
+        """layout="minor": kinv (n, n, B) and sinv (m, m, B) are stored
+        batch-minor so the batch-minor solve chain (solve_layout="minor",
+        the padded-HBM-traffic fix) warm-starts and polishes without
+        boundary transposes.  Use make_cache(B, n, m, params, dtype) to
+        match QPSolverParams."""
         kshape = (n, n, B) if layout == "minor" else (B, n, n)
+        sshape = (m, m, B) if layout == "minor" else (B, m, m)
         return cls(
             kinv=jnp.zeros(kshape, dtype),
             hinv=jnp.zeros((B, n, n), dtype),
-            sinv=jnp.zeros((B, m, m), dtype),
+            sinv=jnp.zeros(sshape, dtype),
         )
 
 
@@ -541,6 +543,7 @@ def solve_batched(
     hinv_fn=None,
     prepared=None,
     prepared_layout: str = "major",
+    prepared_tiles=None,
 ):
     """Batched solve over a leading batch axis on every leaf.
 
@@ -576,9 +579,15 @@ def solve_batched(
     scaled solve chain (K build, warm-NS K^-1, ADMM kernel inputs) stays
     batch-minor: no padded batch-major (B, 42, 42) HBM round trips, no
     boundary transposes (params.solve_layout documents the rationale).
-    The cache's kinv must then be batch-minor too (make_cache).  The
-    unscaled problem (`data`), the polish, and the rescue stay batch-major
-    (the rescue's transposes trace inside its fire branch only)."""
+    The cache's kinv/sinv must then be batch-minor too (make_cache).
+    The unscaled problem (`data`) and the rescue stay batch-major (the
+    rescue's transposes trace inside its fire branch only); the polish
+    keeps its carried Schur inverse batch-minor end to end.
+
+    prepared_tiles (pallas backend): optional dict of ALREADY batch-minor
+    unscaled A/g/l/u — the fused setup kernel's native-layout outputs
+    (setup_batched "tiles_minor") — fed to polish_tiles so the polish
+    kernel's invariant inputs skip their boundary transposes."""
     if backend == "xla":
         # the single-sample rescue cond would lower to a both-branches
         # select under vmap — disable it and rescue at batch level instead
@@ -912,6 +921,47 @@ def solve_batched(
             H_polish = H_reg
     else:
         Hinv_polish = None
+    # ---- polish Schur-inverse chain layout ----
+    # In the batch-minor solve chain the carried Sinv — the LARGEST tensor
+    # the polish shuttles, (B, 70, 70) — stays batch-minor (m, m, B) end
+    # to end: the pass-through warm path feeds the cache straight into the
+    # polish kernel's native tile layout (polish_solve sinv_layout) with
+    # NO boundary transpose; only the rare cold branches compute a
+    # batch-major NS inverse and transpose it once.  Cache layout is
+    # normalized like kinv above (mixed/diagnostic configs only).
+    m_c = data.A.shape[-2]
+    s_minor = minor and cache is not None and params.polish
+    cache_sinv_minor = (
+        cache is not None
+        and cache.sinv.shape[0] == m_c
+        and cache.sinv.shape[0] != cache.sinv.shape[-1]
+        and cache.sinv.shape[-1] == data.H.shape[0]
+    )
+    sinv_chain_in = cache.sinv if cache is not None else None
+    if cache is not None and cache_sinv_minor != s_minor:
+        sinv_chain_in = (
+            jnp.transpose(cache.sinv, (2, 0, 1))
+            if cache_sinv_minor
+            else jnp.transpose(cache.sinv, (1, 2, 0))
+        )
+
+    def _to_s_chain(X_major):
+        return jnp.transpose(X_major, (1, 2, 0)) if s_minor else X_major
+
+    def _compact_cold_fix_s(X, S_thunk):
+        """_compact_cold_fix for the polish Schur inverse, in the chain's
+        layout: the (k, m, m) cold sub-batch NS inverse is computed
+        batch-major either way and scattered into X's layout."""
+        Xc = ns_inverse(S_thunk(cold_idx), params.ns_iters)
+        sel = jnp.take(warm_mask, cold_idx)
+        if s_minor:
+            Xc = jnp.transpose(Xc, (1, 2, 0))
+            Xc = jnp.where(sel[None, None, :],
+                           jnp.take(X, cold_idx, axis=-1), Xc)
+            return X.at[..., cold_idx].set(Xc)
+        Xc = jnp.where(sel[:, None, None], jnp.take(X, cold_idx, axis=0), Xc)
+        return X.at[cold_idx].set(Xc)
+
     # sinv_fn takes a THUNK that builds the polish Schur matrix, so the
     # warm fast path below never materializes it
     if not params.polish:
@@ -924,14 +974,14 @@ def solve_batched(
         # re-inverted on the top-k sub-batch only
         def sinv_fn(S_thunk):
             def full_cold(_):
-                return ns_inverse(S_thunk(), params.ns_iters)
+                return _to_s_chain(ns_inverse(S_thunk(), params.ns_iters))
 
             def mixed(_):
                 return jax.lax.cond(
                     n_cold > 0,
-                    lambda X: _compact_cold_fix(X, S_thunk, keep_warm=True),
+                    lambda X: _compact_cold_fix_s(X, S_thunk),
                     lambda X: X,
-                    cache.sinv,
+                    sinv_chain_in,
                 )
 
             return jax.lax.cond(n_cold > kcold, full_cold, mixed, None)
@@ -945,16 +995,21 @@ def solve_batched(
         def sinv_fn(S_thunk):
             return jax.lax.cond(
                 use_warm,
-                lambda: cache.sinv,
-                lambda: ns_inverse(S_thunk(), params.ns_iters),
+                lambda: sinv_chain_in,
+                lambda: _to_s_chain(ns_inverse(S_thunk(), params.ns_iters)),
             )
     else:
         _mk_sinv = make_inv(
-            cache.sinv if cache is not None else None, wi=wi_polish
+            (
+                jnp.transpose(sinv_chain_in, (2, 0, 1))
+                if s_minor and sinv_chain_in is not None
+                else sinv_chain_in
+            ),
+            wi=wi_polish,
         )
 
         def sinv_fn(S_thunk):
-            return _mk_sinv(S_thunk())
+            return _to_s_chain(_mk_sinv(S_thunk()))
 
     def residuals(d, s):
         pr, du = kkt_residual(d, s.x, s.y)
@@ -983,7 +1038,8 @@ def solve_batched(
                 else data.A @ Hinv_polish @ jnp.swapaxes(data.A, -1, -2)
             )
         tiles_pol = polish_tiles(
-            H_polish, Hinv_polish, data.A, data.g, data.l, data.u
+            H_polish, Hinv_polish, data.A, data.g, data.l, data.u,
+            pre_tiled=prepared_tiles,
         )
 
     best = admm
@@ -991,7 +1047,7 @@ def solve_batched(
     res_b = jnp.maximum(pr_b, du_b)
     res_b = jnp.where(jnp.isfinite(res_b), res_b, jnp.inf)
     polished = jnp.zeros_like(res_b, dtype=bool)
-    sinv_last = cache.sinv if cache is not None else None
+    sinv_last = sinv_chain_in
     prev_da, prev_b = None, None
     for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
@@ -1000,6 +1056,7 @@ def solve_batched(
                 pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
                     data, best, params, H_polish, Hinv_polish, sinv_fn,
                     da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
+                    sinv_layout="minor" if s_minor else "major",
                 )
             else:
                 # chain: round k warms from round k-1's inverse of THIS
@@ -1015,10 +1072,13 @@ def solve_batched(
                         return w
                 else:
                     def sinv_fn(S_thunk, w=sinv_prev):
-                        return ns_inverse(
-                            S_thunk(), params.ns_iters,
-                            warm=w, warm_iters=wi_polish,
+                        wmaj = (
+                            jnp.transpose(w, (2, 0, 1)) if s_minor else w
                         )
+                        return _to_s_chain(ns_inverse(
+                            S_thunk(), params.ns_iters,
+                            warm=wmaj, warm_iters=wi_polish,
+                        ))
 
                 # if the active-set estimate AND active bounds are unchanged
                 # after the previous round, this round's KKT system is
@@ -1033,6 +1093,7 @@ def solve_batched(
                     lambda: _polish_batched_kernel(
                         data, best, params, H_polish, Hinv_polish, sinv_fn,
                         da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
+                        sinv_layout="minor" if s_minor else "major",
                     ),
                     lambda: (best, sinv_prev, inf_r, inf_r),
                 )
@@ -1267,7 +1328,15 @@ def solve_batched(
                 if Hinv_polish is None or isinstance(Hinv_polish, tuple)
                 else Hinv_polish
             ),
-            sinv=sinv_last if sinv_last is not None else cache.sinv,
+            sinv=(
+                cache.sinv if sinv_last is None else (
+                    sinv_last if cache_sinv_minor == s_minor else (
+                        jnp.transpose(sinv_last, (1, 2, 0))
+                        if cache_sinv_minor
+                        else jnp.transpose(sinv_last, (2, 0, 1))
+                    )
+                )
+            ),
         )
         return best, info, new_cache
     return best, info
@@ -1320,7 +1389,8 @@ def _polish_batched(data, state, params, Hinv, sinv_fn):
 
 
 def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
-                           da_b=None, G2=None, tiles=None):
+                           da_b=None, G2=None, tiles=None,
+                           sinv_layout="major"):
     """Pallas-kernel polish: XLA does the active-set assembly, the Schur
     matmuls (MXU) and the Newton-Schulz inverse; the VMEM-resident kernel
     does the whole solve + refinement + residual cascade in one pass
@@ -1374,5 +1444,6 @@ def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
     x, y, z, pr, du = polish_solve(
         H_reg, Hinv, sinv, data.A, da, data.g, b, data.l, data.u,
         refine=params.polish_refine, reg=params.polish_reg, tiles=tiles,
+        sinv_layout=sinv_layout,
     )
     return QPState(x=x, z=z, y=y), sinv, pr, du
