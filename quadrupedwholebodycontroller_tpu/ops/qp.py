@@ -91,8 +91,16 @@ class QPCache(NamedTuple):
 
 def make_cache(B: int, n: int, m: int, params: QPSolverParams,
                dtype=jnp.float32) -> QPCache:
-    """QPCache.zeros with the kinv layout matching params.solve_layout."""
-    return QPCache.zeros(B, n, m, dtype, layout=params.solve_layout)
+    """QPCache.zeros with the kinv/sinv layout matching params.solve_layout.
+
+    B == n or B == m would make the minor layout shape-ambiguous (the
+    chain detects layout by shape); fall back to batch-major there — the
+    solve chain normalizes a mismatched cache layout transparently, so
+    this is correct, just without the zero-transpose fast path."""
+    layout = params.solve_layout
+    if layout == "minor" and (B == n or B == m):
+        layout = "major"
+    return QPCache.zeros(B, n, m, dtype, layout=layout)
 
 
 def _bound_finite(x):

@@ -64,6 +64,15 @@ def main():
         "stages3_comp2": rb(100, 2, k=256, rescue_stages=3,
                             rescue_comp_refine=2),
         "default": base,
+        # budget-trim candidates under STAGING (round 3 follow-up): the
+        # 100-iteration budget was tuned for a single-shot rescue; staged
+        # re-fires may hold flagged_max=0 at a smaller per-stage budget
+        # and a cheaper fire.  Any winner must ALSO hold the extreme
+        # sweep (tools/tune_sweep.py) before shipping.
+        "it60_r2_s3": rb(60, 2, k=256, rescue_stages=3),
+        "it60_r1_s3": rb(60, 1, k=256, rescue_stages=3),
+        "it40_r1_s4": rb(40, 1, k=256, rescue_stages=4),
+        "it100_r2_k128_s3": rb(100, 2, k=128, rescue_stages=3),
         # diverse-mode warm-gate sizing: cold_batch must cover the worst
         # step's switch count for the compact path to hold (the 4-gait
         # replay peaks at ~495 switching scenarios/step at B=8192)
