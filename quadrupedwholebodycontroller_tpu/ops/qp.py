@@ -80,6 +80,16 @@ class QPCache(NamedTuple):
         the padded-HBM-traffic fix) warm-starts and polishes without
         boundary transposes.  Use make_cache(B, n, m, params, dtype) to
         match QPSolverParams."""
+        if layout == "minor" and B in (n, m):
+            # the solve chain detects layout by SHAPE: at B == n or B == m a
+            # minor cache is indistinguishable from batch-major and a
+            # non-zero minor cache would be silently misread.  make_cache
+            # falls back to batch-major at these shapes; enforce it here so
+            # no caller can construct the ambiguous case.
+            raise ValueError(
+                f"minor cache layout is shape-ambiguous at B={B} with "
+                f"n={n}, m={m}; use make_cache (batch-major fallback)"
+            )
         kshape = (n, n, B) if layout == "minor" else (B, n, n)
         sshape = (m, m, B) if layout == "minor" else (B, m, m)
         return cls(
@@ -94,9 +104,14 @@ def make_cache(B: int, n: int, m: int, params: QPSolverParams,
     """QPCache.zeros with the kinv/sinv layout matching params.solve_layout.
 
     B == n or B == m would make the minor layout shape-ambiguous (the
-    chain detects layout by shape); fall back to batch-major there — the
-    solve chain normalizes a mismatched cache layout transparently, so
-    this is correct, just without the zero-transpose fast path."""
+    chain detects layout by shape), so fall back to batch-major there.
+    Note the chain's transparent layout normalization relies on the shape
+    detection; at the ambiguous shapes a genuinely minor non-zero cache
+    would be MISREAD as batch-major (safeguarded to a cold init by the NS
+    divergence check — extra iterations, not wrong answers).  Correctness
+    therefore relies on never constructing a non-zero minor cache at these
+    shapes: QPCache.zeros raises on the ambiguous combination, and the
+    batch-major fallback here keeps the carried layout unambiguous."""
     layout = params.solve_layout
     if layout == "minor" and (B == n or B == m):
         layout = "major"

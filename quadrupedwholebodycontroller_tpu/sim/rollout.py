@@ -178,7 +178,7 @@ def batched_rollout(
     batch-level each step (wbc_step_batched) so the Pallas kernel and the
     carried factorization cache apply — the fast path for scenario sweeps.
     Returns (carry, trace) with trace leaves shaped (B, T, ...)."""
-    from quadrupedwholebodycontroller_tpu.ops.qp import QPCache
+    from quadrupedwholebodycontroller_tpu.ops.qp import make_cache
     from quadrupedwholebodycontroller_tpu.config import (
         QP_NUM_CONSTRAINTS,
         QP_NUM_VARS,
@@ -197,8 +197,9 @@ def batched_rollout(
         else jnp.zeros((T, B, 6), dtype)
     )
     commands_tm = jnp.swapaxes(commands, 0, 1)
-    cache0 = QPCache.zeros(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, dtype,
-                           layout=qparams.solve_layout)
+    # make_cache (not QPCache.zeros) so the B == n / B == m layout-ambiguity
+    # guard applies here like every other caller
+    cache0 = make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qparams, dtype)
 
     def step(sc, xs):
         carry, cache, cache_valid, alive = sc

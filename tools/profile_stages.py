@@ -90,10 +90,12 @@ def main():
         rho = sk["prepared"][5]
         if qp.solve_layout == "minor":
             from quadrupedwholebodycontroller_tpu.ops.linalg import (
+                _bm_eye,
                 ns_inverse_warm_shared_bm,
             )
 
-            K = sH + jnp.einsum("mnB,mB,mkB->nkB", sA, rho, sA)
+            K = (sH + qp.sigma * _bm_eye(sH.shape[0], sH.dtype)
+                 + jnp.einsum("mnB,mB,mkB->nkB", sA, rho, sA))
             Kinv = ns_inverse_warm_shared_bm(K, ca.kinv, qp.ns_warm_iters)
             s = jnp.sum(jnp.abs(Kinv))
             if with_p:
@@ -101,7 +103,8 @@ def main():
                 Kg = jnp.einsum("ijB,jB->iB", Kinv, sg)
                 s = s + jnp.sum(jnp.abs(P)) + jnp.sum(jnp.abs(Kg))
             return c._replace(**sk["carry_updates"]), s
-        K = sH + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA)
+        K = (sH + qp.sigma * jnp.eye(sH.shape[-1], dtype=sH.dtype)
+             + jnp.einsum("bmn,bm,bmk->bnk", sA, rho, sA))
         from quadrupedwholebodycontroller_tpu.ops.linalg import (
             ns_inverse_warm_shared,
         )
