@@ -51,6 +51,13 @@ class ControllerParams:
     # reference's finite differences (cpp:384-402) — no one-cycle lag, no
     # contact-switch transients
     exact_derivatives: bool = False
+    # exact_derivatives implementation on the pallas setup path:
+    # False (default) = the tangent propagation runs INSIDE the fused
+    # setup kernel (ops/pallas/setup_kernel exact_mode — the round-4
+    # answer to the +7.9 ms XLA jvp epilogue); True = force the XLA jvp
+    # epilogue (control/wbc._exact_epilogue_batched), kept as the
+    # independent oracle for A/B and equivalence tests
+    exact_epilogue: bool = False
 
     @property
     def dt(self) -> float:
@@ -127,13 +134,22 @@ class QPSolverParams:
                                   # walking quality (max KKT 1.6e-3 vs
                                   # 1.3e-3, mean 1.9e-4, 0 fallen)
     polish: bool = True           # active-set KKT polish after ADMM
-    polish_rounds: int = 1        # iterated active-set refinement rounds
-                                  # (round-5 tuning: 1 round + 5 refine
-                                  # passes beats 2 rounds + 3 on BOTH speed
-                                  # (+4%) and walking KKT (max 1.33e-3 vs
-                                  # 1.50e-3) — refinement passes are ~free
-                                  # in the VMEM polish kernel while a round
-                                  # re-runs the whole Schur pipeline)
+    polish_rounds: int = 2        # iterated active-set refinement rounds.
+                                  # Round 2 is the DROP round (driver
+                                  # round 4): rows whose round-1 candidate
+                                  # multiplier came out wrong-signed are
+                                  # banned from round 2's estimate — the
+                                  # classical active-set resolution of
+                                  # stale warm-start duals that otherwise
+                                  # pin a row at a bound it left (0.25 N·m
+                                  # torque error at a "converged"
+                                  # certificate, tools/debug_compfinal.py).
+                                  # Steps whose estimate is unchanged skip
+                                  # round 2 batch-wide via the `changed`
+                                  # cond, so the steady-state cost is ~0.
+                                  # (The earlier rounds=1 tuning predates
+                                  # the drop rule and the sign-augmented
+                                  # acceptance.)
     polish_reg: float = 1e-9
     polish_refine: int = 5        # coupled iterative-refinement passes per
                                   # polish round (preconditioned Richardson on
@@ -181,6 +197,25 @@ class QPSolverParams:
                                   # recovers the digits that plain-f32
                                   # residual evaluation noise-floors away.
                                   # 0 disables
+    comp_final_refine: int = 0    # OPTIONAL compensated (double-f32)
+                                  # refinement passes on the final accepted
+                                  # iterate, reusing the polish
+                                  # preconditioners in hand (closed-form
+                                  # H^-1 + carried/fresh Schur inverse) —
+                                  # EFT residuals + 2 preconditioner
+                                  # matvecs per pass, ~1.3 ms/pass at
+                                  # B=4096.  Default 0: the round-4
+                                  # torque-parity investigation found the
+                                  # f32 tail was MIS-CLASSIFIED ACTIVE
+                                  # SETS, not arithmetic — with the polish
+                                  # drop rule (polish_rounds=2) + relative
+                                  # activation tolerances + sign-augmented
+                                  # acceptance, the walking replay reaches
+                                  # p99 9.4e-5 / max 2.2e-4 N·m torque
+                                  # error vs f64 (BASELINE bar 1e-3) with
+                                  # comp passes off, and identically with
+                                  # them on.  The rescue retains its own
+                                  # compensated stage (rescue_comp_refine)
     cold_batch: int = 512         # per-scenario warm-cache gating: scenarios
                                   # whose contact set switched are re-
                                   # inverted cold on a compacted top-k
@@ -193,6 +228,20 @@ class QPSolverParams:
                                   # pre-round-3 behavior).  512 covers the
                                   # diverse 4-gait replay's worst step
                                   # (~495 switch edges at B=8192)
+    drop_batch: int = 256         # compact the polish DROP round (round 2+)
+                                  # to the scenarios whose active-set
+                                  # estimate actually changed: gather the
+                                  # top-k changed scenarios, assemble +
+                                  # cold-invert their (k, m, m) Schur
+                                  # systems only, scatter accepted
+                                  # improvements back.  Round 2 exists to
+                                  # fix mis-classified sets (stale warm
+                                  # duals), which are sparse per step —
+                                  # the full-batch cold inverse cost a
+                                  # measured 26% of sweep throughput.
+                                  # More changed scenarios than this falls
+                                  # back to the full-batch round.  0 =
+                                  # always full-batch.
     solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build
                                   # -> warm-NS K^-1 -> ADMM kernel inputs)

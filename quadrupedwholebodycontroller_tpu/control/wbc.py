@@ -536,10 +536,12 @@ def wbc_step_batched(
         # switch-masked exactly like _switch_masked_warm below)
         if qp_backend == "pallas":
             prep_layout = qp_params.solve_layout
+        kernel_exact = params.exact_derivatives and not params.exact_epilogue
         sk = setup_kernel.setup_batched(
             model, params, obs, ref, carry, ref_is_new_b,
             qp_params=qp_params if qp_backend == "pallas" else None,
             prepared_layout=prep_layout,
+            exact_mode=kernel_exact,
         )
         prepared = sk["prepared"]
         prepared_tiles = sk.get("tiles_minor")
@@ -555,9 +557,11 @@ def wbc_step_batched(
             foot_pos=sk["foot_pos"],
             carry_updates=sk["carry_updates"],
         )
-        if params.exact_derivatives:
-            # jvp-exact Tdot/Jdot epilogue over the kernel's FD setup —
-            # the exact mode keeps the fused kernel (VERDICT r2 #8)
+        if params.exact_derivatives and params.exact_epilogue:
+            # forced XLA jvp epilogue over the kernel's FD setup (the
+            # round-3 mechanism, kept as the independent oracle; the
+            # default exact path now runs the tangents in-kernel,
+            # ops/pallas/setup_kernel exact_mode)
             setup, prepared = _exact_epilogue_batched(
                 model, params, obs, carry, setup, prepared,
                 prepared_layout=prep_layout,

@@ -258,7 +258,7 @@ def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
 
 
 def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
-                 *, refine: int, reg: float, interpret: bool = False,
+                 *, refine: int, reg: float, interpret: bool | None = None,
                  tiles=None, sinv_layout: str = "major"):
     """Batch-major wrapper: inputs (B, ...) -> (x, y, z, pr, du) batch-major.
 
@@ -273,6 +273,8 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
     carried cache in the batch-minor solve chain (ops/qp solve_layout) —
     so the (B, 70, 70) boundary transpose (the largest single tensor the
     polish shuttles) is skipped entirely."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if tiles is None:
         tiles = polish_tiles(H, Hinv, A, g, l, u)
     Bsz, Bp = tiles["Bsz"], tiles["Bp"]

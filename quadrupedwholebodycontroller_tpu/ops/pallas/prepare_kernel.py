@@ -73,9 +73,11 @@ def _prepare_kernel(H_ref, A_ref, g_ref, l_ref, u_ref,
 )
 def prepare_scaled(H, A, g, l, u, wx, wz, wy,
                    *, sweeps: int, rho0: float, rho_eq_scale: float,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """Batch-major wrapper.  Returns (sH, sA, sg, sl, su, rho, wxs, wzs,
     wys, d, e), all batch-major."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     Bsz, m, n = A.shape
     dtype = A.dtype
     Bt = LANE_TILE

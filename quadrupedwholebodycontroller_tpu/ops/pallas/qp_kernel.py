@@ -217,7 +217,7 @@ def _zy_epilogue_kernel(Kinv_ref, A_ref, g_ref, Hs_ref,
 def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
                            Hs, l_orig, u_orig, d, e,
                            *, iters: int, alpha: float,
-                           interpret: bool = False, layout: str = "major"):
+                           interpret: bool | None = None, layout: str = "major"):
     """Constraint-space (sigma = 0) ADMM + residual epilogue.
 
     Kinv (B,n,n) = K^{-1} in SCALED space; A/g/l/u/rho likewise scaled;
@@ -231,6 +231,8 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
     K-chain (ops/linalg.ns_inverse_*_bm) — so the boundary to_tile
     transposes vanish for every matrix input.  Warm starts x0/z0/y0 and
     the original bounds stay batch-major (cheap vector tiles)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if layout == "minor":
         m, n = A.shape[0], A.shape[1]
         B = A.shape[-1]
@@ -332,13 +334,15 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
 )
 def admm_iterations(Kinv, A, g, l, u, rho, x0, z0, y0,
                     *, iters: int, sigma: float, alpha: float,
-                    interpret: bool = False):
+                    interpret: bool | None = None):
     """Run `iters` ADMM iterations for a batch of QPs.
 
     Batch-major inputs: Kinv (B,n,n), A (B,m,n), g (B,n), l/u/rho (B,m),
     warm iterates x0 (B,n), z0/y0 (B,m).  Returns (x, z, y) batch-major.
     Infinite bounds are clamped to +-1e20 before entering the kernel (the
     qpOASES INFTY convention) to keep the lane arithmetic finite."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     B, m, n = A.shape
     dtype = A.dtype
     Bt = LANE_TILE
@@ -406,7 +410,7 @@ def admm_iterations(Kinv, A, g, l, u, rho, x0, z0, y0,
 def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
                         Hs, l_orig, u_orig, d, e,
                         *, iters: int, sigma: float, alpha: float,
-                        interpret: bool = False, layout: str = "major"):
+                        interpret: bool | None = None, layout: str = "major"):
     """ADMM iterations plus the candidate's UNSCALED relative KKT residuals
     in one kernel pass (matches ops/qp.kkt_residual).
 
@@ -417,6 +421,8 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
 
     layout="minor" as in admm_zy_iterations_res: the scaled problem
     (Kinv, A, g, l, u, rho, Hs, d, e) is already batch-minor."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     if layout == "minor":
         m, n = A.shape[0], A.shape[1]
         B = A.shape[-1]

@@ -169,7 +169,8 @@ def _topology(parent):
 
 
 # ---------------------------------------------------------------- kernel
-def _make_kernel(const, params, qp_params=None, stop_after=None):
+def _make_kernel(const, params, qp_params=None, stop_after=None,
+                 exact_mode=False):
     """Build the kernel closure over static model constants.
 
     const: dict of numpy arrays/tuples (see setup_batched); params: the
@@ -178,6 +179,18 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
     equilibration + problem/warm scaling + rho, ops/pallas/
     prepare_kernel.py) into the same launch — the warm start (wx, wz, wy)
     joins the inputs and the scaled problem joins the outputs.
+
+    exact_mode: carry the jvp-exact tangent propagation (Rdot = skew(w) R,
+    pdot = v, qdot along the state flow — ops/kinematics.state_flow) through
+    the SAME unrolled recursion, replacing the reference's one-cycle-stale
+    finite differences (cpp:384-402) with analytic Tdot/Jdot and the fresh
+    Tdot^-1 in the centroidal bias — the in-kernel form of
+    control/wbc.wbc_setup's exact_derivatives branch (the XLA jvp epilogue
+    it supersedes cost +7.9 ms/step at B=4096 re-running differentiated
+    kinematics outside the kernel; the tangent chain here is ~2x the
+    primal op count of the blocks it touches, on a kernel that is nearly
+    dispatch-free).  No gating: tangents carry no history, so contact
+    switches need no zeroing and deriv_valid is moot.
 
     stop_after (PROFILING ONLY, tools/profile_setup_sections.py): truncate
     the kernel after the named section, writing a checksum of that
@@ -280,6 +293,7 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
         cw[0] = p0 + _const_mv(R0, com_b[0])
         axw = [None] * nj
         orgw = [None] * nj
+        N_list = [None] * nj
         for b in range(1, nb):
             j = b - 1
             pb = parent[b]
@@ -303,6 +317,7 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
                     ent.append(v)
                 rows.append(jnp.stack(ent))
             N = jnp.stack(rows)                      # (3, 3, Bt)
+            N_list[j] = N
             R[b] = _mm(R[pb], N)
             p[b] = p[pb] + _const_mv(R[pb], jp[j])
             axw[j] = _const_mv(R[pb], jRa[j])
@@ -313,6 +328,45 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             _checksum(com_ref, [jnp.stack(R[1:]), jnp.stack(p),
                                 jnp.stack(cw), jnp.stack(axw)])
             return dict()
+
+        # ---- tangent FK along the state flow (exact_mode only) ----
+        # d/dt of every FK quantity under (Rdot = skew(omega_w) R0,
+        # pdot = v_base, qdot): the same unrolled chain, dotted.
+        dR = [None] * nb
+        dp_ = [None] * nb
+        dcw = [None] * nb
+        daxw = [None] * nj
+        dorgw = [None] * nj
+        if exact_mode:
+            dR[0] = _mm(_skew(bv[3:6]), R0)
+            dp_[0] = bv[0:3]
+            dcw[0] = dp_[0] + _const_mv(dR[0], com_b[0])
+            for b in range(1, nb):
+                j = b - 1
+                pb = parent[b]
+                # Ndot = (cos q * qd) M1 + (sin q * qd) M2
+                sd = cq[j] * qd[j]
+                cd = sq[j] * qd[j]
+                rows = []
+                for i in range(3):
+                    ent = []
+                    for l in range(3):
+                        terms = []
+                        if M1[j][i, l] != 0.0:
+                            terms.append(sd * float(M1[j][i, l]))
+                        if M2[j][i, l] != 0.0:
+                            terms.append(cd * float(M2[j][i, l]))
+                        vterm = terms[0] if terms else jnp.zeros_like(sd)
+                        for t in terms[1:]:
+                            vterm = vterm + t
+                        ent.append(vterm)
+                    rows.append(jnp.stack(ent))
+                dN = jnp.stack(rows)
+                dR[b] = _mm(dR[pb], N_list[j]) + _mm(R[pb], dN)
+                dp_[b] = dp_[pb] + _const_mv(dR[pb], jp[j])
+                daxw[j] = _const_mv(dR[pb], jRa[j])
+                dorgw[j] = dp_[b]
+                dcw[b] = dp_[b] + _const_mv(dR[b], com_b[b])
 
         # ---- Jacobian parts / body velocities (ops/kinematics.py) ----
         om = bv[3:6]
@@ -336,6 +390,21 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
         com_vel6 = jnp.concatenate([clv, om], axis=0)
         d_com = com - p0
 
+        djq = [dict() for _ in range(nb)]
+        dr_ = [None] * nb
+        dcom = dd_com = None
+        if exact_mode:
+            for b in range(1, nb):
+                for j in anc[b]:
+                    djq[b][j] = _cross(daxw[j], cw[b] - orgw[j]) + _cross(
+                        axw[j], dcw[b] - dorgw[j]
+                    )
+            dr_ = [dcw[b] - dp_[0] for b in range(nb)]
+            dcom = dcw[0] * (mass[0] / m_tot)
+            for b in range(1, nb):
+                dcom = dcom + dcw[b] * (mass[b] / m_tot)
+            dd_com = dcom - dp_[0]
+
         if stop_after == "jac":
             _checksum(com_ref, [com_vel6, d_com]
                       + [jq[b][j] for b in range(1, nb) for j in anc[b]])
@@ -343,11 +412,22 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
 
         # ---- world inertias Iw = R I R^T ----
         Iw = [None] * nb
+        dIw = [None] * nb
         for b in range(nb):
             A1 = _const_mm(R[b], inertia[b])
             Iw[b] = jnp.stack(
                 [_mv(A1, R[b][jr]) for jr in range(3)], axis=1
             )
+            if exact_mode:
+                # Iw_dot = Rdot I R^T + R I Rdot^T, column-wise like Iw
+                dA1 = _const_mm(dR[b], inertia[b])
+                dIw[b] = jnp.stack(
+                    [
+                        _mv(dA1, R[b][jr]) + _mv(A1, dR[b][jr])
+                        for jr in range(3)
+                    ],
+                    axis=1,
+                )
 
         # ---- velocity-product recursion (ops/dynamics.py) ----
         w_ = [None] * nb
@@ -480,6 +560,70 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             axis=0,
         )                                             # (6, 6, Bt)
 
+        dMbj = dMb = None
+        if exact_mode:
+            # tangents of the base/base-joint mass blocks (Mjj's tangent is
+            # never needed: only T and the foot Jacobians carry derivatives
+            # into the QP)
+            dIwa = [dict() for _ in range(nb)]
+            for b in range(1, nb):
+                for j in anc[b]:
+                    dIwa[b][j] = _mv(dIw[b], axw[j]) + _mv(Iw[b], daxw[j])
+            dmr = dr_[0] * mass[0]
+            for b in range(1, nb):
+                dmr = dmr + dr_[b] * mass[b]
+            drot_off = None
+            ddiag = None
+            for b in range(nb):
+                drr = (
+                    dr_[b][:, None, :] * r[b][None, :, :]
+                    + r[b][:, None, :] * dr_[b][None, :, :]
+                )
+                t = dIw[b] - drr * mass[b]
+                drot_off = t if drot_off is None else drot_off + t
+                dd = 2.0 * _dot(r[b], dr_[b]) * mass[b]
+                ddiag = dd if ddiag is None else ddiag + dd
+            drot = drot_off + jnp.stack(
+                [
+                    jnp.stack([ddiag, zc, zc]),
+                    jnp.stack([zc, ddiag, zc]),
+                    jnp.stack([zc, zc, ddiag]),
+                ]
+            )
+            dtr_cols = []
+            dmid_cols = []
+            for j in range(nj):
+                acc_t = None
+                acc_m = None
+                for b in range(1, nb):
+                    if j not in anc[b]:
+                        continue
+                    tt = djq[b][j] * mass[b]
+                    mm_ = (
+                        _cross(dr_[b], jq[b][j]) + _cross(r[b], djq[b][j])
+                    ) * mass[b] + dIwa[b][j]
+                    acc_t = tt if acc_t is None else acc_t + tt
+                    acc_m = mm_ if acc_m is None else acc_m + mm_
+                dtr_cols.append(
+                    acc_t if acc_t is not None else _zeros((3,), p0)
+                )
+                dmid_cols.append(
+                    acc_m if acc_m is not None else _zeros((3,), p0)
+                )
+            dMbj = jnp.concatenate(
+                [jnp.stack(dtr_cols, axis=1), jnp.stack(dmid_cols, axis=1)],
+                axis=0,
+            )
+            dsk_mr = _skew(dmr)
+            z33d = _zeros((3, 3), p0)
+            dMb = jnp.concatenate(
+                [
+                    jnp.concatenate([z33d, -dsk_mr], axis=1),
+                    jnp.concatenate([dsk_mr, drot], axis=1),
+                ],
+                axis=0,
+            )
+
         # ---- Mb^{-1} via 3x3 Schur with the constant m I top block ----
         inv_m = 1.0 / m_tot
         S3 = rot + _mm(sk_mr, sk_mr) * inv_m
@@ -497,6 +641,10 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
         # X = Mb^{-1} Mbj with one refinement pass (centroidal_transform)
         X = _mm(Mb_inv, Mbj)
         X = X + _mm(Mb_inv, Mbj - _mm(Mb, X))         # (6, nj, Bt)
+        dX = None
+        if exact_mode:
+            # tangent of X = Mb^{-1} Mbj:  dX = Mb^{-1} (dMbj - dMb X)
+            dX = _mm(Mb_inv, dMbj - _mm(dMb, X))
 
         if stop_after == "mass":
             _checksum(com_ref, [X, Mjj, Mb_inv, Mbj])
@@ -538,9 +686,99 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
 
         Mc_base = mm_adjT_left(mm_adj_right(Mb))      # (6, 6, Bt)
 
-        # ---- stale centroidal bias (cpp:289 ordering) ----
+        # ---- T top rows: [adj_inv | adj_inv @ X] ----
+        # (needs only X and d_com; lives before the bias block so the
+        # exact mode can form the fresh Tdot^-1 the bias consumes)
+        eye3 = jnp.stack(
+            [
+                jnp.stack([one, zc, zc]),
+                jnp.stack([zc, one, zc]),
+                jnp.stack([zc, zc, one]),
+            ]
+        )
+        btop_cols = [
+            X[0:3, j] - _cross(d_com, X[3:6, j]) for j in range(nj)
+        ]
+        B_blk = jnp.concatenate(
+            [jnp.stack(btop_cols, axis=1), X[3:6]], axis=0
+        )                                             # (6, nj, Bt)
+        z33 = _zeros((3, 3), p0)
+        adjinv6 = jnp.concatenate(
+            [
+                jnp.concatenate([eye3, -_skew(d_com)], axis=1),
+                jnp.concatenate([z33, eye3], axis=1),
+            ],
+            axis=0,
+        )
+        T_top = jnp.concatenate([adjinv6, B_blk], axis=1)  # (6, 18, Bt)
+
+        def tdinv_from_tdot(Tdot_top):
+            """d(T^-1)/dt top rows = -[adj D1 adj | adj (D2 - D1 X)],
+            [D1 | D2] = Tdot_top (shared by the FD and exact paths)."""
+            D1 = Tdot_top[:, 0:6]
+            D2 = Tdot_top[:, 6:18]
+            adjD1 = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            D1[0:3, j] + _cross(d_com, D1[3:6, j])
+                            for j in range(6)
+                        ],
+                        axis=1,
+                    ),
+                    D1[3:6],
+                ],
+                axis=0,
+            )
+            adjD2 = jnp.concatenate(
+                [
+                    jnp.stack(
+                        [
+                            D2[0:3, j] + _cross(d_com, D2[3:6, j])
+                            for j in range(nj)
+                        ],
+                        axis=1,
+                    ),
+                    D2[3:6],
+                ],
+                axis=0,
+            )
+            return -jnp.concatenate(
+                [mm_adj_right(adjD1), adjD2 - _mm(adjD1, X)], axis=1
+            )                                         # (6, 18, Bt)
+
+        if exact_mode:
+            # exact Tdot_top = d/dt [adj_inv | adj_inv X]: the adj_inv
+            # block's tangent is [[0, -skew(dd_com)], [0, 0]] and the
+            # B-block's tangent chains dX with dd_com
+            dbtop_cols = [
+                dX[0:3, j]
+                - _cross(dd_com, X[3:6, j])
+                - _cross(d_com, dX[3:6, j])
+                for j in range(nj)
+            ]
+            dB_blk = jnp.concatenate(
+                [jnp.stack(dbtop_cols, axis=1), dX[3:6]], axis=0
+            )
+            dadjinv6 = jnp.concatenate(
+                [
+                    jnp.concatenate([z33, -_skew(dd_com)], axis=1),
+                    jnp.concatenate([z33, z33], axis=1),
+                ],
+                axis=0,
+            )
+            Tdot_exact = jnp.concatenate([dadjinv6, dB_blk], axis=1)
+            tdnew_top = tdinv_from_tdot(Tdot_exact)
+            # the exact mode feeds the FRESH Tdot^-1 into the bias
+            # (wbc_setup's exact branch); the FD mode keeps the
+            # reference's one-cycle-stale member read (cpp:289 vs 293)
+            tdinv_top_used = tdnew_top
+        else:
+            tdinv_top_used = tdinv_ref[:]
+
+        # ---- centroidal bias ----
         u18 = jnp.concatenate([bv, qd], axis=0)
-        td_u = _mv(tdinv_ref[:], u18)                 # (6, Bt)
+        td_u = _mv(tdinv_top_used, u18)               # (6, Bt)
         Mtd = jnp.concatenate(
             [_mv(Mb, td_u), _mvt(Mbj, td_u)], axis=0
         )
@@ -560,16 +798,11 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             return dict()
 
         # ---- foot kinematics + centroidal foot Jacobians ----
-        eye3 = jnp.stack(
-            [
-                jnp.stack([one, zc, zc]),
-                jnp.stack([zc, one, zc]),
-                jnp.stack([zc, zc, one]),
-            ]
-        )
         fp = []
         jqf = []
         fvel = []
+        dfp = []
+        djqf = []
         for f in range(nl):
             fb = foot_body[f]
             pf = p[fb] + _const_mv(R[fb], foot_p[f])
@@ -580,10 +813,21 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             for j in anc[fb]:
                 vf = vf + qd[j] * jf[j]
             fvel.append(vf)
+            if exact_mode:
+                dpf = dp_[fb] + _const_mv(dR[fb], foot_p[f])
+                dfp.append(dpf)
+                djqf.append(
+                    {
+                        j: _cross(daxw[j], pf - orgw[j])
+                        + _cross(axw[j], dpf - dorgw[j])
+                        for j in anc[fb]
+                    }
+                )
         foot_pos = jnp.concatenate(fp, axis=0)        # (12, Bt)
         foot_vel = jnp.concatenate(fvel, axis=0)
 
         Jc_feet = []
+        Jd_feet = []
         for f in range(nl):
             fb = foot_body[f]
             rel_b = fp[f] - p0
@@ -603,6 +847,29 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             Jc_feet.append(
                 jnp.concatenate([eye3, nsk, jpart], axis=1)
             )                                         # (3, 18, Bt)
+            if exact_mode:
+                # tangent of the foot Jacobian block, term by term
+                drel_b = dfp[f] - dp_[0]
+                drelc = dfp[f] - dcom
+                djbx_cols = [
+                    dX[0:3, j]
+                    - _cross(drel_b, X[3:6, j])
+                    - _cross(rel_b, dX[3:6, j])
+                    for j in range(nj)
+                ]
+                dcols = []
+                for j in range(nj):
+                    dcj = -djbx_cols[j]
+                    if j in djqf[f]:
+                        dcj = dcj + djqf[f][j]
+                    dcols.append(dcj)
+                djpart = jnp.stack(dcols, axis=1)
+                z33f = _zeros((3, 3), p0)
+                Jd_feet.append(
+                    jnp.concatenate(
+                        [z33f, -_skew(drelc), djpart], axis=1
+                    )
+                )
         Jc_st = jnp.concatenate(
             [Jc_feet[f] * c_leg[f] for f in range(nl)], axis=0
         )                                             # (12, 18, Bt)
@@ -614,64 +881,27 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
             _checksum(com_ref, [Jc_st, Jc_sw, foot_pos, foot_vel])
             return dict()
 
-        # ---- T top rows: [adj_inv | adj_inv @ X] ----
-        btop_cols = [
-            X[0:3, j] - _cross(d_com, X[3:6, j]) for j in range(nj)
-        ]
-        B_blk = jnp.concatenate(
-            [jnp.stack(btop_cols, axis=1), X[3:6]], axis=0
-        )                                             # (6, nj, Bt)
-        z33 = _zeros((3, 3), p0)
-        adjinv6 = jnp.concatenate(
-            [
-                jnp.concatenate([eye3, -_skew(d_com)], axis=1),
-                jnp.concatenate([z33, eye3], axis=1),
-            ],
-            axis=0,
-        )
-        T_top = jnp.concatenate([adjinv6, B_blk], axis=1)  # (6, 18, Bt)
-
-        # ---- finite-difference derivatives (cpp:384-402) ----
-        bad_f = switch_f + (1.0 - derivv_ref[0])  # >0.5 iff switch or !deriv_ok
-        gate = jnp.where(bad_f > 0.5, 0.0, 1.0)[None, None, :]
-        inv_dt = 1.0 / dt
-        Tdot_top = gate * (T_top - oldT_ref[:]) * inv_dt
-        Jd_st = gate * (Jc_st - oldJst_ref[:]) * inv_dt
-        Jd_sw = gate * (Jc_sw - oldJsw_ref[:]) * inv_dt
-
-        # d(T^-1)/dt = -T^-1 Tdot T^-1; only the top 6 rows are nonzero:
-        #   [adj D1 adj | adj (D2 - D1 X)],  [D1 | D2] = Tdot_top
-        D1 = Tdot_top[:, 0:6]
-        D2 = Tdot_top[:, 6:18]
-        adjD1 = jnp.concatenate(
-            [
-                jnp.stack(
-                    [
-                        D1[0:3, j] + _cross(d_com, D1[3:6, j])
-                        for j in range(6)
-                    ],
-                    axis=1,
-                ),
-                D1[3:6],
-            ],
-            axis=0,
-        )
-        adjD2 = jnp.concatenate(
-            [
-                jnp.stack(
-                    [
-                        D2[0:3, j] + _cross(d_com, D2[3:6, j])
-                        for j in range(nj)
-                    ],
-                    axis=1,
-                ),
-                D2[3:6],
-            ],
-            axis=0,
-        )
-        tdnew_top = -jnp.concatenate(
-            [mm_adj_right(adjD1), adjD2 - _mm(adjD1, X)], axis=1
-        )                                             # (6, 18, Bt)
+        # ---- derivatives: analytic tangents (exact) or the reference's
+        # one-cycle finite differences (cpp:384-402) ----
+        if exact_mode:
+            # contacts are constant within the linearization, so the
+            # stance/swing masks pass straight through to the tangents;
+            # no history => no switch gating (wbc_setup exact branch)
+            Jd_st = jnp.concatenate(
+                [Jd_feet[f] * c_leg[f] for f in range(nl)], axis=0
+            )
+            Jd_sw = jnp.concatenate(
+                [Jd_feet[f] * (1.0 - c_leg[f]) for f in range(nl)], axis=0
+            )
+            # tdnew_top (exact) was already formed before the bias block
+        else:
+            bad_f = switch_f + (1.0 - derivv_ref[0])  # >0.5: switch/!deriv
+            gate = jnp.where(bad_f > 0.5, 0.0, 1.0)[None, None, :]
+            inv_dt = 1.0 / dt
+            Tdot_top = gate * (T_top - oldT_ref[:]) * inv_dt
+            Jd_st = gate * (Jc_st - oldJst_ref[:]) * inv_dt
+            Jd_sw = gate * (Jc_sw - oldJsw_ref[:]) * inv_dt
+            tdnew_top = tdinv_from_tdot(Tdot_top)
 
         if stop_after == "fd":
             _checksum(com_ref, [tdnew_top, Jd_st, Jd_sw, T_top])
@@ -893,14 +1123,14 @@ def _make_kernel(const, params, qp_params=None, stop_after=None):
 @functools.partial(
     jax.jit,
     static_argnames=("const_arrays", "params", "qp_params", "interpret",
-                     "stop_after", "prep_layout"),
+                     "stop_after", "prep_layout", "exact_mode"),
 )
 def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
                 rpose, rvel, racc, spos, svel, sacc, rcon,
                 oldT_top, oldJst, oldJsw, tdinv_top, integ, prevc,
                 swflag, derivv, refnew, wx=None, wz=None, wy=None,
                 *, qp_params=None, interpret=False, stop_after=None,
-                prep_layout="major"):
+                prep_layout="major", exact_mode=False):
     """Batch-major pallas wrapper (const_arrays: hashable tuple-of-tuples).
 
     With qp_params (and warm wx/wz/wy), the fused-prepare kernel variant
@@ -926,7 +1156,7 @@ def _setup_call(const_arrays, params, R0, p0, bv, qd, sq, cq, rpy,
     vec = lambda d0: pl.BlockSpec((d0, Bt), lambda i: (0, i),
                                   memory_space=pltpu.VMEM)
 
-    kernel = _make_kernel(const, params, qp_params, stop_after)
+    kernel = _make_kernel(const, params, qp_params, stop_after, exact_mode)
     n, m = QP_NUM_VARS, QP_NUM_CONSTRAINTS
     sds = lambda *shape: jax.ShapeDtypeStruct(shape + (Bp,), dtype)
     in_specs = [
@@ -1024,15 +1254,20 @@ def _unpack_const(packed):
 
 def setup_batched(model, params, obs, ref, carry, ref_is_new,
                   interpret: bool | None = None, qp_params=None,
-                  stop_after=None, prepared_layout="major"):
+                  stop_after=None, prepared_layout="major",
+                  exact_mode=False):
     """Fused-kernel replacement for vmap(wbc_setup) (batch-major API).
 
     Returns the same pieces as control/wbc.WBCSetup, as a dict:
     qp H/g/A/l/u plus h_c, Mc_jj, Jc_st_j, com, current_pose, foot_pos and
-    the carry_updates dict.  The kernel always computes the
-    reference-faithful finite-difference derivative path; exact_derivatives
-    is realized by control/wbc._exact_epilogue_batched patching the
-    Jdot/Tdot-dependent rows over these outputs.
+    the carry_updates dict.  By default the kernel computes the
+    reference-faithful finite-difference derivative path; exact_mode=True
+    carries the analytic tangent propagation through the same unrolled
+    recursion in-kernel (jvp-exact Tdot/Jdot + fresh Tdot^-1 in the bias —
+    equivalent to wbc_setup's exact_derivatives branch, pinned in f64
+    interpret mode by tests/test_exact_derivatives.py).  The XLA jvp
+    epilogue (control/wbc._exact_epilogue_batched) remains as the
+    independent oracle / fallback.
 
     With qp_params (QPSolverParams), the QP prepare stage (Ruiz + scaling,
     ops/pallas/prepare_kernel.py) runs inside the SAME kernel launch using
@@ -1078,6 +1313,7 @@ def setup_batched(model, params, obs, ref, carry, ref_is_new,
         interpret=interpret,
         stop_after=stop_after,
         prep_layout=prepared_layout,
+        exact_mode=exact_mode,
     )
     prepared = None
     tiles_minor = None

@@ -198,8 +198,38 @@ def kkt_residual(data: QPData, x, y):
     return primal, dual
 
 
+def _active_tols(data: QPData, ax):
+    """Activation tolerances for the active-set estimate, RELATIVE to the
+    problem scale (single-sample; callers vmap).
+
+    The historical absolute tol = 1e-6 is sound in double precision
+    (qpOASES/OSQP convention) but catastrophically loose for f32 duals on
+    the WBC problem's ~1e4-magnitude data: ADMM dual noise there is
+    ~1e-3..1e-1 ABSOLUTE, so |y| > 1e-6 "activations" fired on pure noise
+    and the polish then solved a wrong active set to machine precision —
+    a saddle the sign-blind KKT certificate cannot reject (measured: 0.25
+    N·m torque error at 2.4e-8 relative KKT, tools/debug_compfinal.py).
+    Scaling the thresholds by eps(dtype) * scale keeps the f64 behavior
+    bit-identical in practice (the 1e-6 floor dominates there) and lifts
+    the f32 thresholds above the noise floor."""
+    dtype = ax.dtype
+    eps = float(jnp.finfo(dtype).eps)
+    finite_b = jnp.maximum(
+        jnp.max(jnp.where(_bound_finite(data.l), jnp.abs(data.l), 0.0)),
+        jnp.max(jnp.where(_bound_finite(data.u), jnp.abs(data.u), 0.0)),
+    )
+    primal_scale = jnp.maximum(
+        1.0, jnp.maximum(jnp.max(jnp.abs(ax)), finite_b)
+    )
+    dual_scale = jnp.maximum(1.0, jnp.max(jnp.abs(data.g)))
+    tol_p = jnp.maximum(1e-6, 256.0 * eps * primal_scale)
+    tol_d = jnp.maximum(1e-6, 256.0 * eps * dual_scale)
+    return tol_p, tol_d
+
+
 def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
-            sinv_fn=None, return_sinv: bool = False):
+            sinv_fn=None, return_sinv: bool = False, banned=None,
+            return_active: bool = False):
     """Active-set KKT solve from the ADMM active-set estimate.
 
     Unknowns (x, y); rows:  [H  A^T] [x]   [-g ]
@@ -214,10 +244,17 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
     dtype = data.H.dtype
     ax = data.A @ state.x
     eq = (data.u - data.l) <= 1e-9
-    tol = 1e-6
+    tol_p, tol_d = _active_tols(data, ax)
     # a bound can only be active if it is finite (avoid 0*inf = NaN below)
-    low_active = _bound_finite(data.l) & ((ax - data.l <= tol) | (state.y < -tol))
-    upp_active = _bound_finite(data.u) & ((data.u - ax <= tol) | (state.y > tol))
+    low_active = _bound_finite(data.l) & (
+        (ax - data.l <= tol_p) | (state.y < -tol_d)
+    )
+    upp_active = _bound_finite(data.u) & (
+        (data.u - ax <= tol_p) | (state.y > tol_d)
+    )
+    if banned is not None:
+        low_active = low_active & ~banned
+        upp_active = upp_active & ~banned
     # all-zero rows (contact-masked constraints) must be treated as inactive,
     # otherwise they contribute a zero row to the KKT system (singular)
     nonzero_row = jnp.sum(jnp.abs(data.A), axis=1) > 1e-12
@@ -246,9 +283,11 @@ def _polish(data: QPData, state: QPState, params: QPSolverParams, Hinv=None,
     )
     if return_sinv:
         x, y, sinv = out
-        return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y), sinv
+        st = QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
+        return (st, sinv, active, b) if return_active else (st, sinv)
     x, y = out
-    return QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
+    st = QPState(x=x, z=jnp.clip(data.A @ x, data.l, data.u), y=y)
+    return (st, active, b) if return_active else st
 
 
 def _polish_hinv(data: QPData, params: QPSolverParams):
@@ -362,18 +401,42 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
     best = admm
     pr_b, du_b, res_b = residuals(admm)
     polished = jnp.asarray(False)
+    sv_b = _sign_violation(data, best.x, best.y)
     Hinv_polish = _polish_hinv(data, params) if params.polish else None
-    # iterated active-set polish: each round re-estimates the active set from
-    # the current best iterate (Newton-like refinement; usually round 1
-    # nails it and round 2 fixes one or two mis-classified constraints)
+    # iterated active-set polish with the DROP rule: each round
+    # re-estimates the active set from the working candidate chain
+    # (through rejections — classical active-set pivoting), banning rows
+    # whose candidate multiplier came out wrong-signed (a stale warm dual
+    # otherwise pins a row at a bound it should be free of; see
+    # _sign_violation / _active_tols)
+    eq_rows1 = (data.u - data.l) <= 1e-9
+    tol_drop1 = jnp.maximum(
+        1e-6,
+        256.0 * float(jnp.finfo(dtype).eps)
+        * jnp.maximum(1.0, jnp.max(jnp.abs(data.g))),
+    )
+    banned1 = jnp.zeros_like(eq_rows1)
+    w_pol = best
     for _ in range(params.polish_rounds if params.polish else 0):
-        pol = _polish(data, best, params, Hinv_polish)
+        pol, act_r, b_r = _polish(
+            data, w_pol, params, Hinv_polish, banned=banned1,
+            return_active=True,
+        )
+        side_up = (b_r == data.u) & ~eq_rows1
+        wrong = act_r & ~eq_rows1 & jnp.where(
+            side_up, pol.y < -tol_drop1, pol.y > tol_drop1
+        )
+        banned1 = banned1 | wrong
+        w_pol = pol
         pr_p, du_p, res_p = residuals(pol)
-        ok = res_p <= res_b
+        # sign-augmented acceptance (see _accept_better)
+        sv_p = _sign_violation(data, pol.x, pol.y)
+        ok = jnp.maximum(res_p, sv_p) <= jnp.maximum(res_b, sv_b)
         best = jax.tree.map(lambda p, a: jnp.where(ok, p, a), pol, best)
         pr_b = jnp.where(ok, pr_p, pr_b)
         du_b = jnp.where(ok, du_p, du_b)
         res_b = jnp.where(ok, res_p, res_b)
+        sv_b = jnp.where(ok, sv_p, sv_b)
         polished = polished | ok
 
     info = QPInfo(
@@ -432,9 +495,20 @@ def _rescue_solver_params(params: QPSolverParams) -> QPSolverParams:
 
 
 def _accept_better(best, pr_b, du_b, res_b, polished, cand, pr_c, du_c,
-                   res_c, cand_polished=None):
-    """Per-scenario merge: keep `cand` wherever its residual improves."""
-    ok = res_c <= res_b
+                   res_c, cand_polished=None, data=None):
+    """Per-scenario merge: keep `cand` wherever its residual improves.
+
+    With `data`, the comparison is SIGN-AUGMENTED: max(res, sign_violation)
+    on both sides, so a wrong-active-set saddle (tiny primal/dual residual,
+    wrong-signed multipliers — see _sign_violation) can never displace an
+    honest iterate.  The carried pr/du/res stay the plain OSQP-convention
+    certificates either way."""
+    if data is None:
+        ok = res_c <= res_b
+    else:
+        ok = jnp.maximum(res_c, _sign_violation(data, cand.x, cand.y)) <= (
+            jnp.maximum(res_b, _sign_violation(data, best.x, best.y))
+        )
     oke = ok[:, None]
     merged = QPState(
         x=jnp.where(oke, cand.x, best.x),
@@ -447,7 +521,7 @@ def _accept_better(best, pr_b, du_b, res_b, polished, cand, pr_c, du_c,
             jnp.where(ok, res_c, res_b), pol)
 
 
-def _polish_comp(data, state, params, Hinv=None):
+def _polish_comp(data, state, params, Hinv=None, passes=None):
     """Compensated (double-f32) active-set polish candidate.
 
     The TPU-native answer to the reference's all-double arithmetic
@@ -492,7 +566,8 @@ def _polish_comp(data, state, params, Hinv=None):
     Kbot = jnp.concatenate([Bm, jax.vmap(jnp.diag)(D)], axis=-1)
     Kfull = jnp.concatenate([Ktop, Kbot], axis=-2)
     rhs = jnp.concatenate([-data.g, da * b], axis=-1)
-    for _ in range(max(params.rescue_comp_refine, 1)):
+    for _ in range(max(params.rescue_comp_refine, 1) if passes is None
+                   else passes):
         w = jnp.concatenate([x, y], axis=-1)
         r = comp.comp_residual(rhs, Kfull, w)
         r1, r2 = r[..., :n], r[..., n:]
@@ -508,6 +583,121 @@ def _polish_comp(data, state, params, Hinv=None):
         return pr, du
 
     pr, du = jax.vmap(res_one)(data, pol)
+    return pol, pr, du
+
+
+def _hinv_mv(Hinv, v):
+    """Apply the polish H^{-1} (compact (diag, blk, start) or dense) as a
+    batched matvec."""
+    if isinstance(Hinv, tuple):
+        hd, hblk, hstart = Hinv
+        k = hblk.shape[-1]
+        seg = jnp.einsum("bij,bj->bi", hblk, v[:, hstart:hstart + k])
+        out = hd * v
+        return out.at[:, hstart:hstart + k].set(seg)
+    return jnp.einsum("bij,bj->bi", Hinv, v)
+
+
+def _sign_violation(data, x, y):
+    """Relative complementarity/sign residual of a primal/dual pair.
+
+    kkt_residual deliberately does not score dual signs (OSQP's choice:
+    ADMM's projection and the polish's active-set structure guarantee them
+    by construction).  An active-set KKT *refinement*, however, can
+    converge to the saddle of a WRONG active set — zero primal and dual
+    residual, wrong-signed multipliers — which a sign-blind certificate
+    cannot reject (observed: 0.4 N·m torque error at measured 1e-6 KKT).
+    For each row: y_i > 0 must push on a nearby upper bound, y_i < 0 on a
+    lower one; the violation is min(|y_i|/dual_scale, dist/primal_scale)
+    — dimensionless, zero iff every multiplier is either negligible or
+    complementary."""
+    ax = jnp.einsum("...ij,...j->...i", data.A, x)
+    d_up = jnp.where(_bound_finite(data.u),
+                     jnp.maximum(data.u - ax, 0.0), jnp.inf)
+    d_lo = jnp.where(_bound_finite(data.l),
+                     jnp.maximum(ax - data.l, 0.0), jnp.inf)
+    # equality rows: y is sign-free (both bounds coincide)
+    eq = (data.u - data.l) <= 1e-9
+    dist = jnp.where(eq, 0.0, jnp.where(y > 0, d_up, d_lo))
+    finite_b = jnp.maximum(
+        jnp.max(jnp.where(_bound_finite(data.l), jnp.abs(data.l), 0.0),
+                axis=-1),
+        jnp.max(jnp.where(_bound_finite(data.u), jnp.abs(data.u), 0.0),
+                axis=-1),
+    )
+    primal_scale = jnp.maximum(
+        1.0, jnp.maximum(jnp.max(jnp.abs(ax), axis=-1), finite_b)
+    )
+    hx = jnp.einsum("...ij,...j->...i", data.H, x)
+    aty = jnp.einsum("...ji,...j->...i", data.A, y)
+    dual_scale = jnp.maximum(
+        1.0,
+        jnp.maximum(
+            jnp.max(jnp.abs(hx), axis=-1),
+            jnp.maximum(jnp.max(jnp.abs(aty), axis=-1),
+                        jnp.max(jnp.abs(data.g), axis=-1)),
+        ),
+    )
+    v = jnp.minimum(
+        jnp.abs(y) / dual_scale[..., None], dist / primal_scale[..., None]
+    )
+    return jnp.max(v, axis=-1)
+
+
+def _comp_refine_final(data, state, params, Hinv, sinv):
+    """Always-on compensated (double-f32) refinement of the FINAL iterate.
+
+    The torque-parity closer (BASELINE <=1e-3 N.m vs the reference torque
+    map, whole_body_controller.cpp:565-568): a ~6.7e-4 relative-KKT f32
+    iterate on ~1e4-magnitude data still carries ~0.1 N of slack along the
+    weakly-penalized (curvature ~1, R = I per cpp:474-477) stance-force
+    split direction — an IMPROVABLE ill-conditioning residual, not a
+    solution ambiguity (H >= I makes the minimizer unique).  The plain-f32
+    polish refinement cannot push past it because its residual evaluation
+    noise floor (eps * sum|terms| ~ 1e-2 absolute here) buries the weak
+    direction's ~1e-1 residual after the first pass; the error-free-
+    transformation residual (ops/compensated.py) is exact to ~eps * |r|,
+    so each pass contracts the true error toward the f32 representation
+    floor (~3e-5 N on ~500 N forces).
+
+    Unlike _polish_comp (the rescue's from-scratch candidate) this reuses
+    the preconditioners already in hand — the closed-form/carried polish
+    H^{-1} and the last polish round's Schur inverse `sinv` (batch-major
+    (B, m, m)) — so the marginal cost is EFT residual arithmetic plus two
+    preconditioner matvecs per pass; no new Newton-Schulz inverses.  A
+    stale preconditioner only slows contraction; acceptance is guarded by
+    the caller on the standard f32 certificate."""
+    from quadrupedwholebodycontroller_tpu.ops import compensated as comp
+
+    dtype = data.H.dtype
+    reg = jnp.full_like(state.x, params.polish_reg)
+    mv = lambda M, v: jnp.einsum("bij,bj->bi", M, v)
+    x, y = state.x, state.y
+    for _ in range(params.comp_final_refine):
+        # re-estimate the active set from the CURRENT iterate each pass:
+        # a mis-classified row shows up as a wrong-signed multiplier after
+        # one refinement, and the re-estimate drops it (the iterated-
+        # active-set mechanism of _polish, at refinement cost)
+        da, b = _assemble_active(data, QPState(x=x, z=state.z, y=y), dtype)
+        Bm = da[:, :, None] * data.A
+        Bt = jnp.swapaxes(Bm, -1, -2)
+        D = (1.0 - da) - params.polish_reg * da
+        # r1 = -g - (H + reg I) x - B^T y ; r2 = da*b - B x - D y, each in
+        # one compensated accumulation (the H/B^T cancellation at
+        # stationarity is BETWEEN blocks)
+        r1 = comp.comp_residual_chain(
+            -data.g, mat_terms=((data.H, x), (Bt, y)), diag_terms=((reg, x),)
+        )
+        r2 = comp.comp_residual_chain(
+            da * b, mat_terms=((Bm, x),), diag_terms=((D, y),)
+        )
+        dy = mv(sinv, mv(Bm, _hinv_mv(Hinv, r1)) - r2)
+        dx = _hinv_mv(Hinv, r1 - mv(Bt, dy))
+        x = x + dx
+        y = y + dy
+    ax = mv(data.A, x)
+    pol = QPState(x=x, z=jnp.clip(ax, data.l, data.u), y=y)
+    pr, du = jax.vmap(lambda d, s: kkt_residual(d, s.x, s.y))(data, pol)
     return pol, pr, du
 
 
@@ -528,7 +718,7 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
         merged, pr_b, du_b, res_b, pol = _accept_better(
             b, i.primal_residual, i.dual_residual, i.kkt_residual,
             i.polished, st, ri.primal_residual, ri.dual_residual,
-            ri.kkt_residual, ri.polished,
+            ri.kkt_residual, ri.polished, data=data_sg,
         )
         if params.rescue_comp_refine > 0 and params.polish:
             Hinv = (
@@ -541,7 +731,8 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
             res_c = jnp.maximum(pr_c, du_c)
             res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
             merged, pr_b, du_b, res_b, pol = _accept_better(
-                merged, pr_b, du_b, res_b, pol, cand, pr_c, du_c, res_c
+                merged, pr_b, du_b, res_b, pol, cand, pr_c, du_c, res_c,
+                data=data_sg,
             )
         return s + 1, merged, QPInfo(pr_b, du_b, res_b, pol)
 
@@ -622,6 +813,46 @@ def solve_batched(
             else params
         )
         st, inf = jax.vmap(lambda d, w: solve(d, w, p_inner))(data, warm)
+        if params.comp_final_refine > 0 and params.polish:
+            # always-on compensated final refinement (same order as the
+            # pallas path: before the rescue).  No carried inverses here —
+            # _polish_comp re-derives them (the xla backend is the
+            # reference/test path; cost is not the concern).
+            Hinv_c = (
+                hinv_fn(data.H, params.polish_reg)
+                if hinv_fn is not None else None
+            )
+            pre_cf = (st, inf.primal_residual, inf.dual_residual,
+                      inf.kkt_residual, inf.polished)
+            data_sg = _sg(data)
+            cand, pr_c, du_c = _polish_comp(
+                data_sg, _sg(st), params, _sg(Hinv_c),
+                passes=params.comp_final_refine,
+            )
+            res_c = jnp.maximum(pr_c, du_c)
+            res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
+            # sign-augmented acceptance (see the pallas-path hook)
+            sv_c = _sign_violation(data_sg, cand.x, cand.y)
+            sv_b = _sign_violation(data_sg, _sg(st.x), _sg(st.y))
+            ok_cf = (
+                jnp.maximum(res_c, sv_c)
+                <= jnp.maximum(_sg(inf.kkt_residual), sv_b)
+            )
+            oke_cf = ok_cf[:, None]
+            st_sg, pr_sg, du_sg, res_sg, pol_sg = _sg(pre_cf)
+            post_cf = (
+                QPState(
+                    x=jnp.where(oke_cf, cand.x, st_sg.x),
+                    z=jnp.where(oke_cf, cand.z, st_sg.z),
+                    y=jnp.where(oke_cf, cand.y, st_sg.y),
+                ),
+                jnp.where(ok_cf, pr_c, pr_sg),
+                jnp.where(ok_cf, du_c, du_sg),
+                jnp.where(ok_cf, res_c, res_sg),
+                pol_sg | ok_cf,
+            )
+            st_m, pr_m, du_m, res_m, pol_m = _ad_passthrough(pre_cf, post_cf)
+            st, inf = st_m, QPInfo(pr_m, du_m, res_m, pol_m)
         if params.rescue_threshold > 0:
             st, inf = _rescue_batched(data, st, inf, params, backend, hinv_fn)
         if cache is not None:
@@ -1070,11 +1301,34 @@ def solve_batched(
     res_b = jnp.maximum(pr_b, du_b)
     res_b = jnp.where(jnp.isfinite(res_b), res_b, jnp.inf)
     polished = jnp.zeros_like(res_b, dtype=bool)
+    # sign-augmented acceptance (see _accept_better): the ADMM iterate's
+    # multipliers are complementary by projection, so sv_b starts ~0;
+    # a polish candidate that solved a WRONG active set carries a large
+    # sign violation and cannot displace it
+    sv_b = _sign_violation(data, best.x, best.y)
     sinv_last = sinv_chain_in
     prev_da, prev_b = None, None
+    # active-set DROP rule across polish rounds (see _rescue_core): the
+    # working iterate `w_pol` follows the candidate chain even through
+    # rejections, and rows whose candidate multiplier came out
+    # wrong-signed are banned from the next round's estimate.  A stale
+    # warm-start dual (a row active in an earlier gait phase) otherwise
+    # activates a row well off its bound and the polish pins it there —
+    # round 2 with the ban solves the corrected set, and typical steps
+    # (unchanged estimate) still skip round 2 via the `changed` cond.
+    eq_rows = (data.u - data.l) <= 1e-9
+    tol_drop = jnp.maximum(
+        1e-6,
+        256.0 * float(jnp.finfo(dtype).eps)
+        * jnp.maximum(1.0, jnp.max(jnp.abs(data.g), axis=-1)),
+    )[:, None]
+    banned = jnp.zeros_like(eq_rows)
+    w_pol = best
     for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
-            da, b = _assemble_active(data, best, dtype)
+            da, b = _assemble_active(data, w_pol, dtype)
+            da = da * (1.0 - banned.astype(dtype))
+            b = jnp.where(banned, 0.0, b)
             if round_i == 0:
                 pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
                     data, best, params, H_polish, Hinv_polish, sinv_fn,
@@ -1089,10 +1343,18 @@ def solve_batched(
                 sinv_prev = sinv_last
 
                 if wi_polish == 0:
-                    # pass-through (see the warm fast path above); round 1
-                    # already guaranteed sinv_prev finite
+                    # this branch only traces inside the `changed` cond —
+                    # the active set genuinely differs from round 1's
+                    # (a drop fired or the re-estimate moved), so the
+                    # carried inverse is an inverse of the WRONG Schur
+                    # matrix: a pass-through preconditioner left the
+                    # corrected-set solve unconverged and the drop round
+                    # useless (round-4 torque-parity debugging).  Pay the
+                    # cold inverse; unchanged steps never reach here.
                     def sinv_fn(S_thunk, w=sinv_prev):
-                        return w
+                        return _to_s_chain(
+                            ns_inverse(S_thunk(), params.ns_iters)
+                        )
                 else:
                     def sinv_fn(S_thunk, w=sinv_prev):
                         wmaj = (
@@ -1108,19 +1370,102 @@ def solve_batched(
                 # identical — its solution would be the same point, so the
                 # whole round (Schur formation, NS inverse, solve kernel) is
                 # skipped batch-wide.  In steady phases this removes half
-                # the polish cost.
-                changed = jnp.any(da != prev_da) | jnp.any(b != prev_b)
+                # the polish cost.  With drop_batch > 0 the round is
+                # additionally COMPACTED per-scenario: only the scenarios
+                # whose estimate changed (a drop fired or the re-estimate
+                # moved — sparse per step) are gathered, cold-inverted,
+                # and scattered back; the full-batch cold inverse cost a
+                # measured 26% of extreme-sweep throughput.
+                changed_i = jnp.any(da != prev_da, axis=-1) | jnp.any(
+                    b != prev_b, axis=-1
+                )
+                n_ch = jnp.sum(changed_i)
                 inf_r = jnp.full_like(pr_b, jnp.inf)
-                pol, sinv_last, pr_p, du_p = jax.lax.cond(
-                    changed,
-                    lambda: _polish_batched_kernel(
+
+                def full_round():
+                    return _polish_batched_kernel(
                         data, best, params, H_polish, Hinv_polish, sinv_fn,
                         da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                         sinv_layout="minor" if s_minor else "major",
-                    ),
-                    lambda: (best, sinv_prev, inf_r, inf_r),
-                )
+                    )
+
+                def skip_round():
+                    return best, sinv_prev, inf_r, inf_r
+
+                k2 = params.drop_batch
+                if 0 < k2 < changed_i.shape[0]:
+                    def compact_round():
+                        idx2 = jax.lax.top_k(
+                            changed_i.astype(jnp.float32), k2
+                        )[1]
+                        take2 = lambda a: jnp.take(a, idx2, axis=0)
+                        take_c = lambda t: (
+                            (take2(t[0]), take2(t[1]), t[2])
+                            if isinstance(t, tuple) else take2(t)
+                        )
+                        data_c = QPData(*(take2(leaf) for leaf in data))
+                        w_c = QPState(
+                            x=take2(w_pol.x), z=take2(w_pol.z),
+                            y=take2(w_pol.y),
+                        )
+                        pol_c, sinv_c, pr_c, du_c = _polish_batched_kernel(
+                            data_c, w_c, params,
+                            take_c(H_polish), take_c(Hinv_polish),
+                            lambda S_thunk: ns_inverse(
+                                S_thunk(), params.ns_iters
+                            ),
+                            da_b=(take2(da), take2(b)),
+                        )
+                        # top_k pads with unchanged rows when fewer than
+                        # k2 scenarios changed — mask their candidates out
+                        sel = take2(changed_i)
+                        pr_c = jnp.where(sel, pr_c, jnp.inf)
+                        du_c = jnp.where(sel, du_c, jnp.inf)
+                        pol_full = QPState(
+                            x=best.x.at[idx2].set(pol_c.x),
+                            z=best.z.at[idx2].set(pol_c.z),
+                            y=best.y.at[idx2].set(pol_c.y),
+                        )
+                        # refresh the carried Schur inverse for the
+                        # re-solved scenarios (chain layout preserved)
+                        if s_minor:
+                            sinv_new = sinv_prev.at[..., idx2].set(
+                                jnp.where(
+                                    sel[None, None, :],
+                                    jnp.transpose(sinv_c, (1, 2, 0)),
+                                    jnp.take(sinv_prev, idx2, axis=-1),
+                                )
+                            )
+                        else:
+                            sinv_new = sinv_prev.at[idx2].set(
+                                jnp.where(
+                                    sel[:, None, None], sinv_c,
+                                    jnp.take(sinv_prev, idx2, axis=0),
+                                )
+                            )
+                        return (pol_full, sinv_new,
+                                inf_r.at[idx2].set(pr_c),
+                                inf_r.at[idx2].set(du_c))
+
+                    pol, sinv_last, pr_p, du_p = jax.lax.cond(
+                        n_ch > k2,
+                        full_round,
+                        lambda: jax.lax.cond(
+                            n_ch > 0, compact_round, skip_round
+                        ),
+                    )
+                else:
+                    pol, sinv_last, pr_p, du_p = jax.lax.cond(
+                        n_ch > 0, full_round, skip_round
+                    )
             prev_da, prev_b = da, b
+            # wrong-signed candidate multipliers mark next round's drops
+            side_up = (b == data.u) & ~eq_rows
+            wrong = (da > 0.5) & ~eq_rows & jnp.where(
+                side_up, pol.y < -tol_drop, pol.y > tol_drop
+            )
+            banned = banned | wrong
+            w_pol = pol
             res_p = jnp.maximum(pr_p, du_p)
             res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
         else:
@@ -1132,7 +1477,8 @@ def solve_batched(
                 data, best, Hinv_dense
             )
             pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
-        ok = res_p <= res_b
+        sv_p = _sign_violation(data, pol.x, pol.y)
+        ok = jnp.maximum(res_p, sv_p) <= jnp.maximum(res_b, sv_b)
         oke = ok[:, None]
         best = QPState(
             x=jnp.where(oke, pol.x, best.x),
@@ -1142,7 +1488,52 @@ def solve_batched(
         pr_b = jnp.where(ok, pr_p, pr_b)
         du_b = jnp.where(ok, du_p, du_b)
         res_b = jnp.where(ok, res_p, res_b)
+        sv_b = jnp.where(ok, sv_p, sv_b)
         polished = polished | ok
+    if (
+        params.comp_final_refine > 0
+        and params.polish
+        and Hinv_polish is not None
+        and sinv_last is not None
+    ):
+        # always-on compensated final refinement (the torque-parity lever —
+        # see _comp_refine_final).  Runs BEFORE the rescue so tightened
+        # scenarios drop below rescue_threshold and the rescue fires less.
+        # Value-only merge (_ad_passthrough): gradients keep flowing
+        # through the smooth ADMM+polish path (the EFT arithmetic is exact
+        # in value but its branchy splitting is hostile to AD).
+        pre_cf = (best, pr_b, du_b, res_b, polished)
+        sinv_mj = (
+            jnp.transpose(sinv_last, (2, 0, 1)) if s_minor else sinv_last
+        )
+        data_sg = _sg(data)
+        cand_cf, pr_cf, du_cf = _comp_refine_final(
+            data_sg, _sg(best), params, _sg(Hinv_polish), _sg(sinv_mj)
+        )
+        res_cf = jnp.maximum(pr_cf, du_cf)
+        res_cf = jnp.where(jnp.isfinite(res_cf), res_cf, jnp.inf)
+        # acceptance compares the SIGN-AUGMENTED residuals: an active-set
+        # refinement can converge to the saddle of a wrong active set
+        # (zero primal/dual residual, wrong-signed y) which max(pr, du)
+        # cannot reject — _sign_violation can.  The reported kkt_residual
+        # stays max(pr, du) (the OSQP convention).
+        sv_c = _sign_violation(data_sg, cand_cf.x, cand_cf.y)
+        sv_b = _sign_violation(data_sg, _sg(best.x), _sg(best.y))
+        ok_cf = jnp.maximum(res_cf, sv_c) <= jnp.maximum(_sg(res_b), sv_b)
+        oke_cf = ok_cf[:, None]
+        best_sg, pr_sg, du_sg, resb_sg, pol_sg = _sg(pre_cf)
+        post_cf = (
+            QPState(
+                x=jnp.where(oke_cf, cand_cf.x, best_sg.x),
+                z=jnp.where(oke_cf, cand_cf.z, best_sg.z),
+                y=jnp.where(oke_cf, cand_cf.y, best_sg.y),
+            ),
+            jnp.where(ok_cf, pr_cf, pr_sg),
+            jnp.where(ok_cf, du_cf, du_sg),
+            jnp.where(ok_cf, res_cf, resb_sg),
+            pol_sg | ok_cf,
+        )
+        best, pr_b, du_b, res_b, polished = _ad_passthrough(pre_cf, post_cf)
     if params.rescue_threshold > 0:
         # in-scope tail rescue (the pallas-path form of _rescue_batched):
         # the flagged problem is ALREADY scaled, so the rescue skips the
@@ -1181,30 +1572,62 @@ def solve_batched(
             cand = QPState(x=d_ * x, z=z / e_, y=e_ * y)
             res_c = jnp.maximum(pr_c, du_c)
             res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
-            ok = res_c <= res_b
-            oke = ok[:, None]
-            best = QPState(
-                x=jnp.where(oke, cand.x, best.x),
-                z=jnp.where(oke, cand.z, best.z),
-                y=jnp.where(oke, cand.y, best.y),
+            best, pr_b, du_b, res_b, polished = _accept_better(
+                best, pr_b, du_b, res_b, polished,
+                cand, pr_c, du_c, res_c, cand_polished=jnp.zeros_like(
+                    polished), data=data_,
             )
-            pr_b = jnp.where(ok, pr_c, pr_b)
-            du_b = jnp.where(ok, du_c, du_b)
-            res_b = jnp.where(ok, res_c, res_b)
             if params.polish:
                 def sinv_cold(S_thunk):
                     return ns_inverse(S_thunk(), params.ns_iters)
 
+                # iterated polish WITH THE ACTIVE-SET DROP RULE: a stale
+                # warm-start dual can activate a row that sits well off its
+                # bound (observed: |y| = 14 carried from a previous cycle's
+                # genuinely-active phase, row 0.1 inside the bound) and the
+                # polish then pins it there — a wrong-set saddle whose
+                # wrong-signed multipliers the sign-augmented acceptance
+                # rejects but cannot FIX.  Classic active-set resolution:
+                # rows whose CANDIDATE multiplier comes out wrong-signed
+                # (regardless of acceptance) are banned from the next
+                # round's estimate, so round k+1 solves the corrected set
+                # with its own cold Schur inverse (already budgeted here).
+                dtype_ = data_.H.dtype
+                eqr = (data_.u - data_.l) <= 1e-9
+                tol_dr = jnp.maximum(
+                    1e-6,
+                    256.0 * float(jnp.finfo(dtype_).eps)
+                    * jnp.maximum(1.0, jnp.max(jnp.abs(data_.g), axis=-1)),
+                )[:, None]
+                banned = jnp.zeros_like(eqr)
+                # the working iterate `w` follows the CANDIDATE chain even
+                # through rejections (classical active-set pivoting walks
+                # candidate to candidate; `best` only collects certified
+                # improvements).  Round k re-estimates from w, minus the
+                # accumulated bans.
+                w = best
                 for _ in range(params.rescue_polish_rounds):
+                    da_r, b_r = _assemble_active(data_, w, dtype_)
+                    da_r = da_r * (1.0 - banned.astype(dtype_))
+                    b_r = jnp.where(banned, 0.0, b_r)
                     pol, _, pr_p, du_p = _polish_batched_kernel(
-                        data_, best, params, H_pol, Hinv_pol,
-                        sinv_cold, G2=G2, tiles=tiles,
+                        data_, w, params, H_pol, Hinv_pol,
+                        sinv_cold, da_b=(da_r, b_r), G2=G2, tiles=tiles,
                     )
+                    # wrong-signed candidate multipliers mark the drops:
+                    # forced at the upper bound needs y >= -tol, at the
+                    # lower bound y <= tol (equality rows are sign-free)
+                    side_up = (b_r == data_.u) & ~eqr
+                    wrong = (da_r > 0.5) & ~eqr & jnp.where(
+                        side_up, pol.y < -tol_dr, pol.y > tol_dr
+                    )
+                    banned = banned | wrong
+                    w = pol
                     res_p = jnp.maximum(pr_p, du_p)
                     res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
                     best, pr_b, du_b, res_b, polished = _accept_better(
                         best, pr_b, du_b, res_b, polished,
-                        pol, pr_p, du_p, res_p,
+                        pol, pr_p, du_p, res_p, data=data_,
                     )
                 if params.rescue_comp_refine > 0:
                     # compensated (double-f32) refinement candidate: the
@@ -1216,7 +1639,7 @@ def solve_batched(
                     res_c = jnp.where(jnp.isfinite(res_c), res_c, jnp.inf)
                     best, pr_b, du_b, res_b, polished = _accept_better(
                         best, pr_b, du_b, res_b, polished,
-                        cand, pr_c, du_c, res_c,
+                        cand, pr_c, du_c, res_c, data=data_,
                     )
             return best, pr_b, du_b, res_b, polished
 
@@ -1246,7 +1669,7 @@ def solve_batched(
         )
 
         def _rescue(args):
-            best, pr_b, du_b, res_b, polished = args
+            best, pr_b, du_b, res_b, polished, flag = args
             if not compact_rescue:
                 if minor:
                     Kr = _back_minor(K_mn)
@@ -1258,14 +1681,18 @@ def solve_batched(
                 else:
                     Kr, sdatar, rhor, dr, er = (K_g, sdata_g, rho_g, d_g,
                                                 e_g)
-                return _rescue_core(
+                best, pr_b, du_b, res_b, polished = _rescue_core(
                     best, pr_b, du_b, res_b, polished,
                     Kr, sdatar.A, sdatar.g, sdatar.l, sdatar.u, rhor,
                     sdatar.H, data_g.l, data_g.u, dr, er,
                     data_g, Hp_g, Hip_g,
                     G2=G2_g, tiles=tiles_g,
                 )
-            _, idx = jax.lax.top_k(res_b, kres)
+                flag = jnp.maximum(
+                    res_b, _sign_violation(data_g, best.x, best.y)
+                )
+                return best, pr_b, du_b, res_b, polished, flag
+            _, idx = jax.lax.top_k(flag, kres)
 
             def take(a):
                 return jnp.take(a, idx, axis=0)
@@ -1311,8 +1738,12 @@ def solve_batched(
                 z=best.z.at[idx].set(best_c.z),
                 y=best.y.at[idx].set(best_c.y),
             )
+            flag_c = jnp.maximum(
+                res_c, _sign_violation(data_c, best_c.x, best_c.y)
+            )
             return (best, pr_b.at[idx].set(pr_c), du_b.at[idx].set(du_c),
-                    res_b.at[idx].set(res_c), polished.at[idx].set(pol_c))
+                    res_b.at[idx].set(res_c), polished.at[idx].set(pol_c),
+                    flag.at[idx].set(flag_c))
 
         # staged rescue (lax.while_loop — one trace): re-fires until no
         # scenario exceeds the threshold or rescue_stages passes ran.  Each
@@ -1324,14 +1755,21 @@ def solve_batched(
             s, args = ops
             return s + 1, _rescue(args)
 
-        pre = (best, pr_b, du_b, res_b, polished)
+        # the fire flag is SIGN-AUGMENTED: max(res, sign_violation) — a
+        # scenario whose certificate looks converged but whose multipliers
+        # are wrong-signed (a mis-classified active set, see
+        # _sign_violation) is exactly a scenario the drop-rule rescue can
+        # fix, so it must be flagged even when res alone is under
+        # threshold
+        pre = (best, pr_b, du_b, res_b, polished,
+               jnp.maximum(res_b, sv_b))
         _, post = jax.lax.while_loop(
             lambda ops: (ops[0] < params.rescue_stages)
-            & jnp.any(ops[1][3] > params.rescue_threshold),
+            & jnp.any(ops[1][5] > params.rescue_threshold),
             _rescue_staged,
             (jnp.zeros((), jnp.int32), _sg(pre)),
         )
-        best, pr_b, du_b, res_b, polished = _ad_passthrough(pre, post)
+        best, pr_b, du_b, res_b, polished, _ = _ad_passthrough(pre, post)
     info = QPInfo(pr_b, du_b, res_b, polished)
     if cache is not None:
         kinv_store = Kinv
@@ -1371,9 +1809,9 @@ def _assemble_active(data, state, dtype):
     def assemble(d, s):
         ax = d.A @ s.x
         eq = (d.u - d.l) <= 1e-9
-        tol = 1e-6
-        low = _bound_finite(d.l) & ((ax - d.l <= tol) | (s.y < -tol))
-        upp = _bound_finite(d.u) & ((d.u - ax <= tol) | (s.y > tol))
+        tol_p, tol_d = _active_tols(d, ax)
+        low = _bound_finite(d.l) & ((ax - d.l <= tol_p) | (s.y < -tol_d))
+        upp = _bound_finite(d.u) & ((d.u - ax <= tol_p) | (s.y > tol_d))
         nz = jnp.sum(jnp.abs(d.A), axis=1) > 1e-12
         active = (eq | low | upp) & nz
         b = jnp.where(upp & ~low, d.u, d.l)

@@ -134,3 +134,67 @@ def test_exact_epilogue_matches_xla_setup(rng):
     assert np.allclose(np.asarray(got.h_c), np.asarray(want.h_c), atol=tol)
     assert np.allclose(np.asarray(got.carry_updates["tdot_inv"]),
                        np.asarray(want.carry_updates["tdot_inv"]), atol=tol)
+
+
+def test_kernel_exact_mode_matches_xla_setup(rng):
+    """The IN-KERNEL exact mode (ops/pallas/setup_kernel exact_mode=True —
+    the tangent propagation carried through the kernel's own unrolled
+    recursion, VERDICT r3 #2) reproduces the vmapped XLA exact wbc_setup:
+    QP bounds, A, g, h_c, and the carried tdot_inv (f64 interpret mode)."""
+    import quadrupedwholebodycontroller_tpu.ops.pallas.setup_kernel as sku
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models.anymal import (
+        INITIAL_JOINT_POS,
+    )
+
+    dtype = jnp.float64
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams(exact_derivatives=True)
+    B = 3
+    key = jax.random.PRNGKey(7)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    obs = wbc.RobotObservation(
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
+        base_vel=0.1 * jax.random.normal(k2, (B, 6), dtype),
+        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1))
+        + 0.05 * jax.random.normal(k3, (B, 12), dtype),
+        qd=0.2 * jax.random.normal(k4, (B, 12), dtype),
+    )
+    ref = jax.tree.map(
+        lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
+    )
+    ref = ref._replace(
+        contacts=ref.contacts.at[:, 1].set(0.0),
+        swing_pos=0.1 * jax.random.normal(key, (B, 12), dtype),
+    )
+    carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    setup_warm = jax.vmap(
+        lambda o, r, c: wbc.wbc_setup(model, ControllerParams(), o, r, c, True)
+    )(obs, ref, carry0)
+    carry = jax.vmap(lambda cu, q: wbc.WBCCarry(qp_warm=q, **cu))(
+        setup_warm.carry_updates, carry0.qp_warm
+    )
+
+    want = jax.vmap(
+        lambda o, r, c: wbc.wbc_setup(model, cp, o, r, c, True)
+    )(obs, ref, carry)
+    sk = sku.setup_batched(
+        model, cp, obs, ref, carry, jnp.ones((B,), bool),
+        interpret=True, exact_mode=True,
+    )
+
+    tol = 1e-8
+    pairs = [
+        (sk["l"], want.qp_data.l),
+        (sk["u"], want.qp_data.u),
+        (sk["h_c"], want.h_c),
+        (sk["carry_updates"]["tdot_inv"], want.carry_updates["tdot_inv"]),
+        (sk["A"], want.qp_data.A),
+        (sk["g"], want.qp_data.g),
+    ]
+    for got, w in pairs:
+        got, w = np.asarray(got), np.asarray(w)
+        finite = np.abs(w) < 1e19
+        assert np.allclose(got[finite], w[finite], atol=tol)

@@ -471,15 +471,25 @@ def test_compact_rescue_matches_full(rng):
         st0, inf0 = qpm.solve_batched(data, warm, off, backend="pallas")
         # threshold below every residual -> the rescue cond always fires;
         # with rescue_batch=k only the k worst scenarios are gathered
+        # rescue_stages=1 pins the single-fire contract: with re-firing
+        # stages the compact rescue legitimately gathers a NEW top-k per
+        # stage (the flag updates), so "rest untouched" only holds for one
+        # stage
         full = dataclasses.replace(
             off, rescue_threshold=1e-12, rescue_iterations=60,
-            rescue_polish_rounds=1, rescue_batch=0)
+            rescue_polish_rounds=1, rescue_batch=0, rescue_stages=1)
         comp = dataclasses.replace(full, rescue_batch=k)
         st_f, inf_f = qpm.solve_batched(data, warm, full, backend="pallas")
         st_c, inf_c = qpm.solve_batched(data, warm, comp, backend="pallas")
 
         res0 = np.asarray(inf0.kkt_residual)
-        order = np.argsort(-res0)
+        # the compact rescue selects by the SIGN-AUGMENTED flag
+        # max(res, sign_violation) — a wrong-set scenario is rescueable
+        # even when its plain residual looks converged
+        flag0 = np.maximum(
+            res0, np.asarray(qpm._sign_violation(data, st0.x, st0.y))
+        )
+        order = np.argsort(-flag0)
         top, rest = order[:k], order[k:]
         # gathered rows reproduce the full-batch rescue (per-scenario math is
         # batch-independent in the kernels; tolerance covers fusion order)
@@ -544,11 +554,15 @@ def test_compact_rescue_blockdiag_hinv(rng):
                                       hinv_fn=hinv_fn)
         comp = dataclasses.replace(
             off, rescue_threshold=1e-12, rescue_iterations=60,
-            rescue_polish_rounds=1, rescue_batch=k)
+            rescue_polish_rounds=1, rescue_batch=k, rescue_stages=1)
         st_c, inf_c = qpm.solve_batched(data, warm, comp, backend="pallas",
                                         hinv_fn=hinv_fn)
         res0 = np.asarray(inf0.kkt_residual)
-        order = np.argsort(-res0)
+        # selection is by the sign-augmented flag (one stage pinned above)
+        flag0 = np.maximum(
+            res0, np.asarray(qpm._sign_violation(data, st0.x, st0.y))
+        )
+        order = np.argsort(-flag0)
         top, rest = order[:k], order[k:]
         # acceptance monotone; untouched rows identical
         assert np.all(np.asarray(inf_c.kkt_residual) <= res0 + 1e-6)

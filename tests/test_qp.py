@@ -180,3 +180,100 @@ def test_rescue_recovers_tail(rng):
     sb, ib = qp.solve_batched(data, warm, no_rescue)
     assert float(jnp.max(ib.kkt_residual)) < 1e-3  # default budget is enough
     np.testing.assert_allclose(np.asarray(sa.x), np.asarray(sb.x), rtol=0, atol=0)
+
+
+def test_stale_dual_drop_rule(rng):
+    """A stale warm-start dual (|y| far above noise on a row the optimum
+    leaves inactive — the carry of an earlier phase where it WAS active)
+    must not survive to the solution: the polish drop rule (round 2 bans
+    wrong-signed candidate multipliers) plus the sign-augmented acceptance
+    recover the true active set.  This is the f32 torque-parity mechanism
+    (0.25 N.m errors at "converged" certificates came exactly from such
+    pinned rows, tools/debug_compfinal.py)."""
+    dtype = jnp.float32
+    data64 = random_qp(rng, n=8, m=12, n_eq=2, dtype=jnp.float64)
+    # scale the data up to WBC-like magnitudes so absolute-tol
+    # classification would be hopeless
+    scale = 1e3
+    data64 = qp.QPData(H=data64.H * scale, g=data64.g * scale,
+                       A=data64.A, l=data64.l, u=data64.u)
+    data = jax.tree.map(lambda a: a.astype(dtype), data64)
+
+    # f64 truth
+    st64, info64 = qp.solve(
+        data64, qp.QPState.zeros(8, 12, jnp.float64),
+        QPSolverParams(iterations=200, rescue_threshold=0.0),
+    )
+    assert float(info64.kkt_residual) < 1e-9
+
+    # find a genuinely inactive, finite-bounded row and poison its dual
+    y64 = np.asarray(st64.y)
+    ax64 = np.asarray(data64.A) @ np.asarray(st64.x)
+    inactive = [
+        i for i in range(12)
+        if abs(y64[i]) < 1e-10
+        and ax64[i] - float(data64.l[i]) > 0.05
+        and float(data64.u[i]) - ax64[i] > 0.05
+    ]
+    assert inactive, "fixture must have an inactive row"
+    row = inactive[0]
+    warm = qp.QPState(
+        x=jnp.asarray(st64.x, dtype),
+        z=jnp.asarray(np.clip(ax64, data64.l, data64.u), dtype),
+        y=jnp.zeros((12,), dtype).at[row].set(50.0 * scale / 100.0),
+    )
+    st, info = qp.solve(data, warm, QPSolverParams(rescue_threshold=0.0))
+    # the solution must match the f64 truth (the stale dual dropped), not
+    # a wrong-set saddle
+    assert float(info.kkt_residual) < 1e-5
+    x_err = float(jnp.max(jnp.abs(st.x - jnp.asarray(st64.x, dtype))))
+    assert x_err < 1e-2 * scale * 1e-3, x_err
+    sv = qp._sign_violation(
+        jax.tree.map(lambda a: a[None], data), st.x[None], st.y[None]
+    )
+    assert float(sv[0]) < 1e-5
+
+
+def test_compact_drop_round_matches_full(rng):
+    """drop_batch > 0 compacts the polish drop round (round 2) to the
+    scenarios whose active-set estimate changed; results must match the
+    full-batch round wherever a candidate was produced, and leave
+    unchanged scenarios bitwise alone."""
+    import dataclasses
+
+    from quadrupedwholebodycontroller_tpu.control.wbc import _wbc_polish_hinv
+
+    dtype = jnp.float32
+    B, n, m = 8, 8, 12
+    datas = [random_qp(rng, n=n, m=m, n_eq=2, dtype=jnp.float64)
+             for _ in range(B)]
+    data = jax.tree.map(lambda *xs: jnp.stack(xs).astype(dtype), *datas)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * B), qp.QPState.zeros(n, m, dtype)
+    )
+    # poison two scenarios' warm duals so their round-1 polish solves a
+    # wrong set and the drop round fires for exactly those
+    warm = warm._replace(
+        y=warm.y.at[2, 5].set(300.0).at[6, 7].set(-250.0)
+    )
+    base = QPSolverParams(rescue_threshold=0.0)
+    full = dataclasses.replace(base, drop_batch=0)
+    comp = dataclasses.replace(base, drop_batch=3)
+    cache_f = qp.make_cache(B, n, m, full, dtype)
+    cache_c = qp.make_cache(B, n, m, comp, dtype)
+    st_f, inf_f, _ = qp.solve_batched(
+        data, warm, full, backend="pallas", cache=cache_f, use_warm=False
+    )
+    st_c, inf_c, _ = qp.solve_batched(
+        data, warm, comp, backend="pallas", cache=cache_c, use_warm=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_c.x), np.asarray(st_f.x), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(inf_c.kkt_residual), np.asarray(inf_f.kkt_residual),
+        atol=1e-5,
+    )
+    # both runs end sign-clean (the poisoned duals were dropped)
+    sv_c = qp._sign_violation(data, st_c.x, st_c.y)
+    assert float(jnp.max(sv_c)) < 1e-4, float(jnp.max(sv_c))

@@ -38,24 +38,31 @@ def test_artifacts_cover_the_full_replay(arrays):
 
 
 def test_torque_error_distribution_within_documented_bounds(arrays):
+    """The BASELINE torque-parity bar, held on-chip in f32 (round 4).
+
+    PERF.md table (measured: median 1.2e-5 / p99 9.4e-5 / max 2.2e-4 N.m)
+    — the pre-round-4 tail (p99 2.4e-2, max 0.25) was mis-classified
+    active sets from stale warm-start duals, fixed by the polish drop
+    rule + relative activation tolerances + sign-augmented acceptance
+    (ops/qp.py), NOT an f32 arithmetic limit."""
     ref, f32 = arrays
     err = np.abs(f32["tau"] - ref["tau"])
-    # PERF.md table (measured: median 2.0e-5 / p99 2.4e-2 / max 0.252)
     assert np.median(err) < 1e-4
-    assert np.percentile(err, 99) < 5e-2
-    assert err.max() < 0.5
+    assert np.percentile(err, 99) < 5e-4
+    assert err.max() < 1e-3          # the BASELINE bar, met by the MAX
     step_err = err.max(axis=1)
-    assert np.sum(step_err > 0.1) <= 5
-    assert np.abs(f32["grf"] - ref["grf"]).max() < 0.5
+    assert np.sum(step_err > 1e-3) == 0
+    assert np.abs(f32["grf"] - ref["grf"]).max() < 5e-3
 
 
 def test_both_replays_are_kkt_certified(arrays):
-    """The error tail must be solution multiplicity, not solver failure:
-    every step of both replays carries a small relative KKT certificate."""
+    """Every step of both replays carries a small relative KKT certificate
+    — and since round 4 the f32 replay's polish converges to the correct
+    active set (~1e-7 relative), so the certificate finally MEANS
+    solution-level accuracy."""
     ref, f32 = arrays
-    assert float(ref["kkt"].max()) < 1e-6     # f64: ~1e-9 measured
-    assert float(f32["kkt"].max()) < 3e-3     # f32: 6.7e-4 measured —
-    #                                           below the rescue threshold
+    assert float(ref["kkt"].max()) < 1e-6     # f64: ~3e-9 measured
+    assert float(f32["kkt"].max()) < 1e-5     # f32: 2.2e-7 measured
 
 
 def test_worst_steps_are_indeterminate_stance_not_divergence(arrays):

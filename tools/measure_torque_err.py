@@ -58,6 +58,19 @@ def replay_torques(dtype_str):
     model = anymal_d_model(dtype=dtype)
     cp = ControllerParams()
     qp = QPSolverParams()
+    # config probes (A/B the parity contribution of individual mechanisms)
+    if os.environ.get("TQ_COMPFINAL"):
+        import dataclasses
+
+        qp = dataclasses.replace(
+            qp, comp_final_refine=int(os.environ["TQ_COMPFINAL"])
+        )
+    if os.environ.get("TQ_ROUNDS"):
+        import dataclasses
+
+        qp = dataclasses.replace(
+            qp, polish_rounds=int(os.environ["TQ_ROUNDS"])
+        )
     traj = np.load(TRAJ)
     # B=8 identical scenarios: the pallas kernels tile at the production
     # batch-minor layout; scenario 0 is recorded

@@ -105,14 +105,22 @@ def main():
 
     fd_default = timed("fd_pallas_setup", ControllerParams(), "auto")
     fd_xla = timed("fd_xla_setup", ControllerParams(), "xla")
-    exact = timed("exact_derivatives", ControllerParams(exact_derivatives=True), "auto")
+    exact = timed(
+        "exact_in_kernel", ControllerParams(exact_derivatives=True), "auto"
+    )
+    exact_epi = timed(
+        "exact_epilogue",
+        ControllerParams(exact_derivatives=True, exact_epilogue=True),
+        "auto",
+    )
     print(json.dumps({
         "B": B,
         "fd_pallas_setup_ms": round(fd_default, 3),
         "fd_xla_setup_ms": round(fd_xla, 3),
-        "exact_derivatives_ms": round(exact, 3),
+        "exact_in_kernel_ms": round(exact, 3),
+        "exact_epilogue_ms": round(exact_epi, 3),
         "exact_vs_default_ms": round(exact - fd_default, 3),
-        "exact_vs_xla_setup_ms": round(exact - fd_xla, 3),
+        "exact_epilogue_vs_default_ms": round(exact_epi - fd_default, 3),
     }), flush=True)
 
 

@@ -108,6 +108,12 @@ CONFIGS = {
     "polish0": QPSolverParams(ns_warm_iters_polish=0),
     "kinv2_polish0": QPSolverParams(ns_warm_iters=2, ns_warm_iters_polish=0),
     "iters50": QPSolverParams(iterations=50),
+    # round-4: always-on compensated final refinement (the torque-parity
+    # lever, config.comp_final_refine).  default now carries 2 passes;
+    # compfinal0 isolates the cost, compfinal4 probes diminishing returns
+    "compfinal0": QPSolverParams(comp_final_refine=0),
+    "compfinal1": QPSolverParams(comp_final_refine=1),
+    "compfinal4": QPSolverParams(comp_final_refine=4),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
