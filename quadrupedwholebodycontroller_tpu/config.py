@@ -228,20 +228,23 @@ class QPSolverParams:
                                   # pre-round-3 behavior).  512 covers the
                                   # diverse 4-gait replay's worst step
                                   # (~495 switch edges at B=8192)
-    drop_batch: int = 256         # compact the polish DROP round (round 2+)
-                                  # to the scenarios whose active-set
-                                  # estimate actually changed: gather the
-                                  # top-k changed scenarios, assemble +
-                                  # cold-invert their (k, m, m) Schur
-                                  # systems only, scatter accepted
-                                  # improvements back.  Round 2 exists to
-                                  # fix mis-classified sets (stale warm
-                                  # duals), which are sparse per step —
-                                  # the full-batch cold inverse cost a
-                                  # measured 26% of sweep throughput.
-                                  # More changed scenarios than this falls
-                                  # back to the full-batch round.  0 =
-                                  # always full-batch.
+    drop_batch: int = 256         # cap the polish DROP round (round 2+) at
+                                  # the k WORST scenarios the previous
+                                  # round failed (a wrong-signed candidate
+                                  # multiplier or a rejected candidate),
+                                  # ranked by max(res, sign_violation):
+                                  # gather, assemble + cold-invert their
+                                  # (k, m, m) Schur systems, scatter
+                                  # accepted improvements back.  A HARD
+                                  # cap, no full-batch fallback — on the
+                                  # extreme sweep >25% of scenarios fail
+                                  # round 1 every step (stiff-contact
+                                  # transients) and the full-batch cold
+                                  # inverse cost 26% of throughput;
+                                  # scenarios beyond the cap keep round-1
+                                  # results and the staged rescue remains
+                                  # the tail guarantee.  0 = full-batch
+                                  # drop round (every failed scenario).
     solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build
                                   # -> warm-NS K^-1 -> ADMM kernel inputs)

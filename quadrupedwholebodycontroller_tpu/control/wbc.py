@@ -516,9 +516,10 @@ def wbc_step_batched(
     setup_backend: "xla" (vmapped wbc_setup), "pallas" (the fused one-launch
     setup kernel, ops/pallas/setup_kernel.py), or "auto" — pallas whenever
     the QP backend is pallas.  With exact_derivatives the pallas path runs
-    the kernel's FD setup and patches the Jdot/Tdot-dependent rows with a
-    jvp-exact XLA epilogue (_exact_epilogue_batched) instead of forfeiting
-    the kernel.
+    the tangent propagation IN-KERNEL (setup_kernel exact_mode — analytic
+    Tdot/Jdot through the same unrolled recursion); params.exact_epilogue
+    forces the older jvp-exact XLA epilogue (_exact_epilogue_batched)
+    instead, kept as the independent oracle.
 
     ref_is_new may be a scalar or a per-scenario (B,) array."""
     B = obs.q.shape[0]

@@ -1307,7 +1307,6 @@ def solve_batched(
     # sign violation and cannot displace it
     sv_b = _sign_violation(data, best.x, best.y)
     sinv_last = sinv_chain_in
-    prev_da, prev_b = None, None
     # active-set DROP rule across polish rounds (see _rescue_core): the
     # working iterate `w_pol` follows the candidate chain even through
     # rejections, and rows whose candidate multiplier came out
@@ -1324,6 +1323,7 @@ def solve_batched(
     )[:, None]
     banned = jnp.zeros_like(eq_rows)
     w_pol = best
+    ok_prev = wrong_any_prev = None  # round-1 outcomes, set at loop bottom
     for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
             da, b = _assemble_active(data, w_pol, dtype)
@@ -1365,20 +1365,20 @@ def solve_batched(
                             warm=wmaj, warm_iters=wi_polish,
                         ))
 
-                # if the active-set estimate AND active bounds are unchanged
-                # after the previous round, this round's KKT system is
-                # identical — its solution would be the same point, so the
-                # whole round (Schur formation, NS inverse, solve kernel) is
-                # skipped batch-wide.  In steady phases this removes half
-                # the polish cost.  With drop_batch > 0 the round is
-                # additionally COMPACTED per-scenario: only the scenarios
-                # whose estimate changed (a drop fired or the re-estimate
-                # moved — sparse per step) are gathered, cold-inverted,
-                # and scattered back; the full-batch cold inverse cost a
-                # measured 26% of extreme-sweep throughput.
-                changed_i = jnp.any(da != prev_da, axis=-1) | jnp.any(
-                    b != prev_b, axis=-1
-                )
+                # round 2+ runs only for the scenarios the PREVIOUS round
+                # failed: a drop fired (wrong-signed candidate multiplier
+                # — the mis-classified-set signature) or the candidate was
+                # rejected outright (e.g. a missed active row shows up as
+                # a large primal residual).  Cleanly-accepted sign-
+                # consistent candidates are KKT points of their claimed
+                # set and gain nothing from re-estimation — and an
+                # estimate-CHANGED trigger fired for >25% of the extreme
+                # sweep per step (the candidate-based re-estimate shifts
+                # routinely), costing 26% of sweep throughput in
+                # full-batch cold inverses.  With drop_batch > 0 the
+                # round is additionally COMPACTED per-scenario (gather /
+                # cold-invert / scatter the failed scenarios only).
+                changed_i = wrong_any_prev | ~ok_prev
                 n_ch = jnp.sum(changed_i)
                 inf_r = jnp.full_like(pr_b, jnp.inf)
 
@@ -1395,9 +1395,17 @@ def solve_batched(
                 k2 = params.drop_batch
                 if 0 < k2 < changed_i.shape[0]:
                     def compact_round():
-                        idx2 = jax.lax.top_k(
-                            changed_i.astype(jnp.float32), k2
-                        )[1]
+                        # rank the failed scenarios by severity and take
+                        # the k2 worst — NO full-batch fallback: on the
+                        # extreme sweep >25% of scenarios fail round 1
+                        # every step (stiff-contact transients), and the
+                        # full-batch cold inverse cost 26% of throughput.
+                        # Scenarios beyond the cap keep round-1 results;
+                        # the staged rescue remains the guarantee.
+                        score = jnp.where(
+                            changed_i, jnp.maximum(res_b, sv_b), -jnp.inf
+                        )
+                        idx2 = jax.lax.top_k(score, k2)[1]
                         take2 = lambda a: jnp.take(a, idx2, axis=0)
                         take_c = lambda t: (
                             (take2(t[0]), take2(t[1]), t[2])
@@ -1448,23 +1456,19 @@ def solve_batched(
                                 inf_r.at[idx2].set(du_c))
 
                     pol, sinv_last, pr_p, du_p = jax.lax.cond(
-                        n_ch > k2,
-                        full_round,
-                        lambda: jax.lax.cond(
-                            n_ch > 0, compact_round, skip_round
-                        ),
+                        n_ch > 0, compact_round, skip_round
                     )
                 else:
                     pol, sinv_last, pr_p, du_p = jax.lax.cond(
                         n_ch > 0, full_round, skip_round
                     )
-            prev_da, prev_b = da, b
             # wrong-signed candidate multipliers mark next round's drops
             side_up = (b == data.u) & ~eq_rows
             wrong = (da > 0.5) & ~eq_rows & jnp.where(
                 side_up, pol.y < -tol_drop, pol.y > tol_drop
             )
             banned = banned | wrong
+            wrong_any_prev = jnp.any(wrong, axis=-1)
             w_pol = pol
             res_p = jnp.maximum(pr_p, du_p)
             res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
@@ -1490,6 +1494,7 @@ def solve_batched(
         res_b = jnp.where(ok, res_p, res_b)
         sv_b = jnp.where(ok, sv_p, sv_b)
         polished = polished | ok
+        ok_prev = ok
     if (
         params.comp_final_refine > 0
         and params.polish

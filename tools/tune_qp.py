@@ -112,6 +112,14 @@ CONFIGS = {
     # lever, config.comp_final_refine).  default now carries 2 passes;
     # compfinal0 isolates the cost, compfinal4 probes diminishing returns
     "compfinal0": QPSolverParams(comp_final_refine=0),
+    # round-4 cost bisection: isolate the drop round (rounds=1 disables
+    # it) and the rescue, under the new sign-augmented acceptance
+    "rounds1": QPSolverParams(polish_rounds=1),
+    "rounds1_norescue": QPSolverParams(
+        polish_rounds=1, rescue_threshold=0.0
+    ),
+    "drop64": QPSolverParams(drop_batch=64),
+    "drop0": QPSolverParams(drop_batch=0),
     "compfinal1": QPSolverParams(comp_final_refine=1),
     "compfinal4": QPSolverParams(comp_final_refine=4),
 }
