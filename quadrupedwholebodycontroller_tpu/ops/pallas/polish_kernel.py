@@ -64,7 +64,7 @@ def _blockdiag_apply(diag, blk, start, v):
 
 def _polish_body(apply_H, apply_Hinv, Sinv_ref, A_ref,
                  da_ref, g_ref, b_ref, l_ref, u_ref,
-                 x_ref, y_ref, z_ref, pr_ref, du_ref,
+                 x_ref, y_ref, z_ref, pr_ref, du_ref, sv_ref,
                  *, refine: int, reg: float):
     Sinv = Sinv_ref[:]    # (m, m, Bt)
     A = A_ref[:]          # (m, n, Bt)  original constraint matrix
@@ -108,17 +108,32 @@ def _polish_body(apply_H, apply_Hinv, Sinv_ref, A_ref,
     )
     pr = jnp.max(jnp.abs(ax - z), axis=0) / pscale
     du = jnp.max(jnp.abs(hx + g + aty), axis=0) / dscale
+    # sign/complementarity violation (ops/qp._sign_violation): y > 0 must
+    # push on a nearby finite upper bound, y < 0 on a lower one; equality
+    # rows are sign-free.  ax/hx/aty and both scales are already resident
+    # — in XLA this costs a full re-read of (H, A) from HBM per call.
+    # Bounds arrive clipped to +-1e20 (polish_tiles), so "finite" is
+    # |.| < 1e19 and 1e20 serves as the infinite distance.
+    eqr = (u - l) <= 1e-9
+    d_up = jnp.where(jnp.abs(u) < 1e19, jnp.maximum(u - ax, 0.0), 1e20)
+    d_lo = jnp.where(jnp.abs(l) < 1e19, jnp.maximum(ax - l, 0.0), 1e20)
+    dist = jnp.where(eqr, 0.0, jnp.where(y > 0, d_up, d_lo))
+    sv = jnp.max(
+        jnp.minimum(jnp.abs(y) / dscale[None, :], dist / pscale[None, :]),
+        axis=0,
+    )
 
     x_ref[:] = x
     y_ref[:] = y
     z_ref[:] = z
     pr_ref[:] = pr[None, :]
     du_ref[:] = du[None, :]
+    sv_ref[:] = sv[None, :]
 
 
 def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
                    da_ref, g_ref, b_ref, l_ref, u_ref,
-                   x_ref, y_ref, z_ref, pr_ref, du_ref,
+                   x_ref, y_ref, z_ref, pr_ref, du_ref, sv_ref,
                    *, refine: int, reg: float):
     """Dense-H variant (generic QPs)."""
     H = H_ref[:]          # (n, n, Bt)  regularized polish H
@@ -126,14 +141,14 @@ def _polish_kernel(H_ref, Hinv_ref, Sinv_ref, A_ref,
     _polish_body(
         lambda v: _mv(H, v), lambda v: _mv(Hinv, v),
         Sinv_ref, A_ref, da_ref, g_ref, b_ref, l_ref, u_ref,
-        x_ref, y_ref, z_ref, pr_ref, du_ref, refine=refine, reg=reg,
+        x_ref, y_ref, z_ref, pr_ref, du_ref, sv_ref, refine=refine, reg=reg,
     )
 
 
 def _polish_kernel_compact(hd_ref, hblk_ref, hid_ref, hiblk_ref,
                            Sinv_ref, A_ref,
                            da_ref, g_ref, b_ref, l_ref, u_ref,
-                           x_ref, y_ref, z_ref, pr_ref, du_ref,
+                           x_ref, y_ref, z_ref, pr_ref, du_ref, sv_ref,
                            *, refine: int, reg: float, blk_start: int):
     """Block-diagonal-H variant (the WBC QP: identity vars ⊕ one k×k SPD
     block ⊕ scaled-identity slacks — SURVEY §3.5).  H and Hinv arrive as
@@ -147,7 +162,7 @@ def _polish_kernel_compact(hd_ref, hblk_ref, hid_ref, hiblk_ref,
         lambda v: _blockdiag_apply(hd, hblk, blk_start, v),
         lambda v: _blockdiag_apply(hid, hiblk, blk_start, v),
         Sinv_ref, A_ref, da_ref, g_ref, b_ref, l_ref, u_ref,
-        x_ref, y_ref, z_ref, pr_ref, du_ref, refine=refine, reg=reg,
+        x_ref, y_ref, z_ref, pr_ref, du_ref, sv_ref, refine=refine, reg=reg,
     )
 
 
@@ -242,11 +257,12 @@ def _polish_call(tiles, Sinv_t, da_t, b_t, *, refine, reg, interpret):
             mat(m, m), mat(m, n),
             vec(m), vec(n), vec(m), vec(m), vec(m),
         ],
-        out_specs=(vec(n), vec(m), vec(m), vec(1), vec(1)),
+        out_specs=(vec(n), vec(m), vec(m), vec(1), vec(1), vec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((n, Bp), dtype),
             jax.ShapeDtypeStruct((m, Bp), dtype),
             jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
@@ -287,9 +303,10 @@ def polish_solve(H, Hinv, Sinv, A, da, g, b, l, u,
         )
     else:
         Sinv_t = t(Sinv)
-    x, y, z, pr, du = _polish_call(
+    x, y, z, pr, du, sv = _polish_call(
         tiles, Sinv_t, t(da), t(b),
         refine=refine, reg=reg, interpret=interpret,
     )
     back = lambda a: jnp.transpose(a, (1, 0))[:Bsz]
-    return back(x), back(y), back(z), back(pr)[:, 0], back(du)[:, 0]
+    return (back(x), back(y), back(z), back(pr)[:, 0], back(du)[:, 0],
+            back(sv)[:, 0])

@@ -495,7 +495,7 @@ def _rescue_solver_params(params: QPSolverParams) -> QPSolverParams:
 
 
 def _accept_better(best, pr_b, du_b, res_b, polished, cand, pr_c, du_c,
-                   res_c, cand_polished=None, data=None):
+                   res_c, cand_polished=None, data=None, sv_cand=None):
     """Per-scenario merge: keep `cand` wherever its residual improves.
 
     With `data`, the comparison is SIGN-AUGMENTED: max(res, sign_violation)
@@ -506,8 +506,12 @@ def _accept_better(best, pr_b, du_b, res_b, polished, cand, pr_c, du_c,
     if data is None:
         ok = res_c <= res_b
     else:
-        ok = jnp.maximum(res_c, _sign_violation(data, cand.x, cand.y)) <= (
-            jnp.maximum(res_b, _sign_violation(data, best.x, best.y))
+        svc = (
+            sv_cand if sv_cand is not None
+            else _sign_violation(data, cand.x, cand.y)
+        )
+        ok = jnp.maximum(res_c, svc) <= jnp.maximum(
+            res_b, _sign_violation(data, best.x, best.y)
         )
     oke = ok[:, None]
     merged = QPState(
@@ -1330,7 +1334,7 @@ def solve_batched(
             da = da * (1.0 - banned.astype(dtype))
             b = jnp.where(banned, 0.0, b)
             if round_i == 0:
-                pol, sinv_last, pr_p, du_p = _polish_batched_kernel(
+                pol, sinv_last, pr_p, du_p, sv_p = _polish_batched_kernel(
                     data, best, params, H_polish, Hinv_polish, sinv_fn,
                     da_b=(da, b), G2=G2_pol, tiles=tiles_pol,
                     sinv_layout="minor" if s_minor else "major",
@@ -1390,7 +1394,7 @@ def solve_batched(
                     )
 
                 def skip_round():
-                    return best, sinv_prev, inf_r, inf_r
+                    return best, sinv_prev, inf_r, inf_r, inf_r
 
                 k2 = params.drop_batch
                 if 0 < k2 < changed_i.shape[0]:
@@ -1416,19 +1420,22 @@ def solve_batched(
                             x=take2(w_pol.x), z=take2(w_pol.z),
                             y=take2(w_pol.y),
                         )
-                        pol_c, sinv_c, pr_c, du_c = _polish_batched_kernel(
-                            data_c, w_c, params,
-                            take_c(H_polish), take_c(Hinv_polish),
-                            lambda S_thunk: ns_inverse(
-                                S_thunk(), params.ns_iters
-                            ),
-                            da_b=(take2(da), take2(b)),
+                        pol_c, sinv_c, pr_c, du_c, sv_c = (
+                            _polish_batched_kernel(
+                                data_c, w_c, params,
+                                take_c(H_polish), take_c(Hinv_polish),
+                                lambda S_thunk: ns_inverse(
+                                    S_thunk(), params.ns_iters
+                                ),
+                                da_b=(take2(da), take2(b)),
+                            )
                         )
                         # top_k pads with unchanged rows when fewer than
                         # k2 scenarios changed — mask their candidates out
                         sel = take2(changed_i)
                         pr_c = jnp.where(sel, pr_c, jnp.inf)
                         du_c = jnp.where(sel, du_c, jnp.inf)
+                        sv_c = jnp.where(sel, sv_c, jnp.inf)
                         pol_full = QPState(
                             x=best.x.at[idx2].set(pol_c.x),
                             z=best.z.at[idx2].set(pol_c.z),
@@ -1453,13 +1460,14 @@ def solve_batched(
                             )
                         return (pol_full, sinv_new,
                                 inf_r.at[idx2].set(pr_c),
-                                inf_r.at[idx2].set(du_c))
+                                inf_r.at[idx2].set(du_c),
+                                inf_r.at[idx2].set(sv_c))
 
-                    pol, sinv_last, pr_p, du_p = jax.lax.cond(
+                    pol, sinv_last, pr_p, du_p, sv_p = jax.lax.cond(
                         n_ch > 0, compact_round, skip_round
                     )
                 else:
-                    pol, sinv_last, pr_p, du_p = jax.lax.cond(
+                    pol, sinv_last, pr_p, du_p, sv_p = jax.lax.cond(
                         n_ch > 0, full_round, skip_round
                     )
             # wrong-signed candidate multipliers mark next round's drops
@@ -1481,7 +1489,7 @@ def solve_batched(
                 data, best, Hinv_dense
             )
             pr_p, du_p, res_p = jax.vmap(residuals)(data, pol)
-        sv_p = _sign_violation(data, pol.x, pol.y)
+            sv_p = _sign_violation(data, pol.x, pol.y)
         ok = jnp.maximum(res_p, sv_p) <= jnp.maximum(res_b, sv_b)
         oke = ok[:, None]
         best = QPState(
@@ -1615,7 +1623,7 @@ def solve_batched(
                     da_r, b_r = _assemble_active(data_, w, dtype_)
                     da_r = da_r * (1.0 - banned.astype(dtype_))
                     b_r = jnp.where(banned, 0.0, b_r)
-                    pol, _, pr_p, du_p = _polish_batched_kernel(
+                    pol, _, pr_p, du_p, sv_pp = _polish_batched_kernel(
                         data_, w, params, H_pol, Hinv_pol,
                         sinv_cold, da_b=(da_r, b_r), G2=G2, tiles=tiles,
                     )
@@ -1632,7 +1640,7 @@ def solve_batched(
                     res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
                     best, pr_b, du_b, res_b, polished = _accept_better(
                         best, pr_b, du_b, res_b, polished,
-                        pol, pr_p, du_p, res_p, data=data_,
+                        pol, pr_p, du_p, res_p, data=data_, sv_cand=sv_pp,
                     )
                 if params.rescue_comp_refine > 0:
                     # compensated (double-f32) refinement candidate: the
@@ -1860,7 +1868,9 @@ def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
     """Pallas-kernel polish: XLA does the active-set assembly, the Schur
     matmuls (MXU) and the Newton-Schulz inverse; the VMEM-resident kernel
     does the whole solve + refinement + residual cascade in one pass
-    (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du).
+    (ops/pallas/polish_kernel.py).  Returns (pol, sinv, pr, du, sv) — sv
+    is the in-kernel sign/complementarity violation (acceptance side-
+    channel; an XLA _sign_violation call re-reads H and A from HBM).
 
     sinv_fn receives a THUNK that assembles the polish Schur matrix, so
     pass-through/warm implementations can skip the assembly entirely.
@@ -1907,9 +1917,9 @@ def _polish_batched_kernel(data, state, params, H_reg, Hinv, sinv_fn,
         )
 
     sinv = sinv_fn(S_thunk)
-    x, y, z, pr, du = polish_solve(
+    x, y, z, pr, du, sv = polish_solve(
         H_reg, Hinv, sinv, data.A, da, data.g, b, data.l, data.u,
         refine=params.polish_refine, reg=params.polish_reg, tiles=tiles,
         sinv_layout=sinv_layout,
     )
-    return QPState(x=x, z=z, y=y), sinv, pr, du
+    return QPState(x=x, z=z, y=y), sinv, pr, du, sv

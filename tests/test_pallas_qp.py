@@ -289,7 +289,7 @@ def test_polish_kernel_matches_xla(rng):
     orig = pk.polish_solve
     pk.polish_solve = functools.partial(orig, interpret=True)
     try:
-        pol_k, sinv_k, pr_k, du_k = qpm._polish_batched_kernel(
+        pol_k, sinv_k, pr_k, du_k, sv_k = qpm._polish_batched_kernel(
             data, state, params, H_reg, Hinv,
             lambda S_thunk: sinv_fn(S_thunk()),
         )
@@ -304,6 +304,9 @@ def test_polish_kernel_matches_xla(rng):
         pr, du = qpm.kkt_residual(d, pol_k.x[b], pol_k.y[b])
         assert abs(float(pr) - float(pr_k[b])) < 1e-5
         assert abs(float(du) - float(du_k[b])) < 1e-5
+    # in-kernel sign violation matches the XLA computation
+    sv_ref = qpm._sign_violation(data, pol_k.x, pol_k.y)
+    assert np.allclose(np.asarray(sv_k), np.asarray(sv_ref), atol=1e-5)
 
 
 def test_prepare_kernel_matches_xla(rng):

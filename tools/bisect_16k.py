@@ -86,16 +86,20 @@ def main():
     sH, sA, sg, sl, su, rho = prepared[:6]
     wxs, wzs, wys, dscale, escale = prepared[6:]
 
-    # stage 2: batch-minor K build + cold NS inverse
+    # stage 2: batch-minor K build + cold NS inverse.  NOTE: pass the big
+    # arrays as ARGUMENTS — a jitted closure would embed them as HLO
+    # constants and the ~200 MB request body trips the remote compile
+    # service's HTTP 413 length limit at this batch size
     from quadrupedwholebodycontroller_tpu.ops.linalg import (
         ns_inverse_bm,
     )
 
-    def k_chain():
+    @jax.jit
+    def k_chain(sH, sA, rho):
         K = sH + jnp.einsum("mnB,mB,mkB->nkB", sA, rho, sA)
         return ns_inverse_bm(K, qp.ns_iters)
 
-    Kinv = stage("k_chain_bm", jax.jit(k_chain))
+    Kinv = stage("k_chain_bm", lambda: k_chain(sH, sA, rho))
     if Kinv is None:
         return
 
@@ -117,17 +121,29 @@ def main():
     data = qpm.QPData(H=sk["H"], g=sk["g"], A=sk["A"], l=sk["l"], u=sk["u"])
     warm = qpm.QPState(x=carry.qp_warm.x, z=carry.qp_warm.z,
                       y=carry.qp_warm.y)
-    stage("solve_batched_prepared", lambda: qpm.solve_batched(
-        data, warm, qp, "pallas", cache=cache, use_warm=False,
-        hinv_fn=wbc._wbc_polish_hinv, prepared=prepared,
-        prepared_layout="minor", prepared_tiles=sk.get("tiles_minor"),
+
+    @jax.jit
+    def run_solve(data, warm, cache, prepared, tiles):
+        return qpm.solve_batched(
+            data, warm, qp, "pallas", cache=cache, use_warm=False,
+            hinv_fn=wbc._wbc_polish_hinv, prepared=prepared,
+            prepared_layout="minor", prepared_tiles=tiles,
+        )
+
+    stage("solve_batched_prepared", lambda: run_solve(
+        data, warm, cache, prepared, sk.get("tiles_minor")
     ))
 
     # stage 5: the full step
     cache2 = qpm.make_cache(B, n, m, qp, dtype)
-    stage("wbc_step_batched", lambda: wbc.wbc_step_batched(
-        model, cp, qp, obs, ref, carry, True, "pallas", cache2, False,
-    ))
+
+    @jax.jit
+    def run_step(obs, ref, carry, cache):
+        return wbc.wbc_step_batched(
+            model, cp, qp, obs, ref, carry, True, "pallas", cache, False,
+        )
+
+    stage("wbc_step_batched", lambda: run_step(obs, ref, carry, cache2))
 
 
 if __name__ == "__main__":

@@ -120,6 +120,17 @@ CONFIGS = {
     ),
     "drop64": QPSolverParams(drop_batch=64),
     "drop0": QPSolverParams(drop_batch=0),
+    # lean 1e-3 rescue (VERDICT r3 #3): with the drop rounds fixing the
+    # active sets, the rescue's remaining job is ADMM convergence — probe
+    # smaller budgets at the tight threshold
+    "rescue_1e3_lean": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=40,
+        rescue_polish_rounds=1,
+    ),
+    "rescue_1e3_it60": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=60,
+        rescue_polish_rounds=1, rescue_batch=128,
+    ),
     "compfinal1": QPSolverParams(comp_final_refine=1),
     "compfinal4": QPSolverParams(comp_final_refine=4),
 }
