@@ -450,9 +450,10 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
         data_sg = _sg(data)
 
         def do_rescue(ops):
-            s, b, i = ops
+            s, b, i, _ = ops
             st, ri = solve(data_sg, b, rparams)
             ok = ri.kkt_residual <= i.kkt_residual
+            improved = ok & (ri.kkt_residual < i.kkt_residual)
             return (
                 s + 1,
                 jax.tree.map(lambda p, a: jnp.where(ok, p, a), st, b),
@@ -462,17 +463,21 @@ def solve(data: QPData, warm: QPState, params: QPSolverParams = QPSolverParams()
                     kkt_residual=jnp.where(ok, ri.kkt_residual, i.kkt_residual),
                     polished=i.polished | (ok & ri.polished),
                 ),
+                improved,
             )
 
-        # re-fires until below threshold or the stage budget runs out
-        # (single trace): each stage continues ADMM from the improved
-        # iterate — the batched analogue lives in solve_batched.  Runs
-        # under stop_gradient with a value-only merge (_ad_passthrough)
-        _, best_r, info_r = jax.lax.while_loop(
+        # re-fires until below threshold, the stage budget runs out, or a
+        # stage improves nothing (single trace): each stage continues ADMM
+        # from the improved iterate — the batched analogue lives in
+        # solve_batched.  Runs under stop_gradient with a value-only merge
+        # (_ad_passthrough)
+        _, best_r, info_r, _ = jax.lax.while_loop(
             lambda ops: (ops[0] < params.rescue_stages)
-            & (ops[2].kkt_residual > params.rescue_threshold),
+            & (ops[2].kkt_residual > params.rescue_threshold)
+            & ops[3],
             do_rescue,
-            (jnp.zeros((), jnp.int32), _sg(best), _sg(info)),
+            (jnp.zeros((), jnp.int32), _sg(best), _sg(info),
+             jnp.asarray(True)),
         )
         best, info = _ad_passthrough((best, info), (best_r, info_r))
     return best, info
@@ -717,7 +722,7 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
     data_sg = _sg(data)
 
     def do_rescue(ops):
-        s, b, i = ops
+        s, b, i, _ = ops
         st, ri = solve_batched(data_sg, b, rparams, backend, hinv_fn=hinv_fn)
         merged, pr_b, du_b, res_b, pol = _accept_better(
             b, i.primal_residual, i.dual_residual, i.kkt_residual,
@@ -738,14 +743,17 @@ def _rescue_batched(data, best, info, params, backend, hinv_fn):
                 merged, pr_b, du_b, res_b, pol, cand, pr_c, du_c, res_c,
                 data=data_sg,
             )
-        return s + 1, merged, QPInfo(pr_b, du_b, res_b, pol)
+        improved = jnp.any(res_b < i.kkt_residual)
+        return s + 1, merged, QPInfo(pr_b, du_b, res_b, pol), improved
 
-    # runs under stop_gradient with a value-only merge (_ad_passthrough)
-    _, best_r, info_r = jax.lax.while_loop(
+    # runs under stop_gradient with a value-only merge (_ad_passthrough);
+    # a stage that improves nothing stops the re-fire (fixable floor)
+    _, best_r, info_r, _ = jax.lax.while_loop(
         lambda ops: (ops[0] < params.rescue_stages)
-        & jnp.any(ops[2].kkt_residual > params.rescue_threshold),
+        & jnp.any(ops[2].kkt_residual > params.rescue_threshold)
+        & ops[3],
         do_rescue,
-        (jnp.zeros((), jnp.int32), _sg(best), _sg(info)),
+        (jnp.zeros((), jnp.int32), _sg(best), _sg(info), jnp.asarray(True)),
     )
     return _ad_passthrough((best, info), (best_r, info_r))
 
@@ -1765,8 +1773,17 @@ def solve_batched(
         # single pass leaves marginally above threshold converge on the
         # next (BENCH_r02 had flagged_max = 63 with a single pass).
         def _rescue_staged(ops):
-            s, args = ops
-            return s + 1, _rescue(args)
+            s, args, _ = ops
+            out = _rescue(args)
+            # a stage that improves NO scenario's flag has hit this step's
+            # fixable floor (e.g. genuinely hard transients whose sign
+            # violation no re-solve clears) — re-firing the remaining
+            # stages would burn 2x the rescue cost for bitwise-identical
+            # results, EVERY step, as long as such a scenario exists in
+            # the batch (profile_deltas r4: the 3-stage re-fire was ~2.8
+            # ms/step at B=8192 on a plateaued workload)
+            improved = jnp.any(out[5] < args[5])
+            return s + 1, out, improved
 
         # the fire flag is SIGN-AUGMENTED: max(res, sign_violation) — a
         # scenario whose certificate looks converged but whose multipliers
@@ -1776,11 +1793,12 @@ def solve_batched(
         # threshold
         pre = (best, pr_b, du_b, res_b, polished,
                jnp.maximum(res_b, sv_b))
-        _, post = jax.lax.while_loop(
+        _, post, _ = jax.lax.while_loop(
             lambda ops: (ops[0] < params.rescue_stages)
-            & jnp.any(ops[1][5] > params.rescue_threshold),
+            & jnp.any(ops[1][5] > params.rescue_threshold)
+            & ops[2],
             _rescue_staged,
-            (jnp.zeros((), jnp.int32), _sg(pre)),
+            (jnp.zeros((), jnp.int32), _sg(pre), jnp.asarray(True)),
         )
         best, pr_b, du_b, res_b, polished, _ = _ad_passthrough(pre, post)
     info = QPInfo(pr_b, du_b, res_b, polished)

@@ -54,7 +54,9 @@ def main():
     )
     ref = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype))
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache0 = qpm.make_cache(B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, qp, dtype)
+    cache0 = qpm.make_cache(
+        B, QP_NUM_VARS, QP_NUM_CONSTRAINTS, QPSolverParams(), dtype
+    )
 
     def step_fn(qp):
         @jax.jit
@@ -98,6 +100,12 @@ def main():
         "cold_boost_off": dataclasses.replace(
             base, cold_iterations=base.iterations
         ),
+        # round-4 machinery
+        "no_rescue": dataclasses.replace(base, rescue_threshold=0.0),
+        "no_rescue_rounds1": dataclasses.replace(
+            base, rescue_threshold=0.0, polish_rounds=1
+        ),
+        "drop_full_batch": dataclasses.replace(base, drop_batch=0),
     }
     out = {"B": B, "default_ms": round(t0, 2), "marginal_ms": {}}
     for name, qp in deltas.items():
