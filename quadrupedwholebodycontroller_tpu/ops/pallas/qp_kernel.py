@@ -69,7 +69,7 @@ def _make_admm_body(A, Kinv, g, l, u, rho, inv_rho, sigma, alpha):
 def _admm_res_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
                      x0_ref, z0_ref, y0_ref,
                      Hs_ref, lo_ref, uo_ref, d_ref, e_ref,
-                     xo_ref, zo_ref, yo_ref, pr_ref, du_ref,
+                     xo_ref, zo_ref, yo_ref, pr_ref, du_ref, sv_ref,
                      *, iters: int, sigma: float, alpha: float):
     """ADMM iterations + unscaled relative-KKT epilogue in one kernel.
 
@@ -115,6 +115,19 @@ def _admm_res_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
     pr_ref[:] = (jnp.max(jnp.abs(ax - jnp.clip(ax, lo, uo)), axis=0)
                  / pscale)[None, :]
     du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
+    # sign/complementarity violation (ops/qp._sign_violation) on the
+    # UNSCALED pair: y_unscaled = e * ys; equality rows are sign-free;
+    # bounds are pre-clipped to +-1e20 so 1e19 is the finiteness test
+    y_u = e * y
+    eqr_sv = (uo - lo) <= 1e-9
+    dup_sv = jnp.where(jnp.abs(uo) < 1e19, jnp.maximum(uo - ax, 0.0), 1e20)
+    dlo_sv = jnp.where(jnp.abs(lo) < 1e19, jnp.maximum(ax - lo, 0.0), 1e20)
+    dist_sv = jnp.where(eqr_sv, 0.0, jnp.where(y_u > 0, dup_sv, dlo_sv))
+    sv_ref[:] = jnp.max(
+        jnp.minimum(jnp.abs(y_u) / dscale[None, :],
+                    dist_sv / pscale[None, :]),
+        axis=0,
+    )[None, :]
 
 
 def _admm_zy_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
@@ -170,7 +183,7 @@ def _admm_zy_kernel(Kinv_ref, A_ref, g_ref, l_ref, u_ref, rho_ref,
 def _zy_epilogue_kernel(Kinv_ref, A_ref, g_ref, Hs_ref,
                         x0_ref, V_ref, y_ref,
                         lo_ref, uo_ref, d_ref, e_ref,
-                        xo_ref, pr_ref, du_ref,
+                        xo_ref, pr_ref, du_ref, sv_ref,
                         *, iters: int, alpha: float):
     """x reconstruction from the V accumulator + unscaled relative-KKT
     residuals (matches ops/qp.kkt_residual / _admm_res_kernel's epilogue)."""
@@ -209,6 +222,19 @@ def _zy_epilogue_kernel(Kinv_ref, A_ref, g_ref, Hs_ref,
     pr_ref[:] = (jnp.max(jnp.abs(ax - jnp.clip(ax, lo, uo)), axis=0)
                  / pscale)[None, :]
     du_ref[:] = (jnp.max(jnp.abs(hx + gu + aty), axis=0) / dscale)[None, :]
+    # sign/complementarity violation (ops/qp._sign_violation) on the
+    # UNSCALED pair: y_unscaled = e * ys; equality rows are sign-free;
+    # bounds are pre-clipped to +-1e20 so 1e19 is the finiteness test
+    y_u = e * y
+    eqr_sv = (uo - lo) <= 1e-9
+    dup_sv = jnp.where(jnp.abs(uo) < 1e19, jnp.maximum(uo - ax, 0.0), 1e20)
+    dlo_sv = jnp.where(jnp.abs(lo) < 1e19, jnp.maximum(ax - lo, 0.0), 1e20)
+    dist_sv = jnp.where(eqr_sv, 0.0, jnp.where(y_u > 0, dup_sv, dlo_sv))
+    sv_ref[:] = jnp.max(
+        jnp.minimum(jnp.abs(y_u) / dscale[None, :],
+                    dist_sv / pscale[None, :]),
+        axis=0,
+    )[None, :]
 
 
 @functools.partial(
@@ -223,7 +249,8 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
     Kinv (B,n,n) = K^{-1} in SCALED space; A/g/l/u/rho likewise scaled;
     A K^{-1} A^T, K^{-1} g and c = -A K^{-1} g are applied/formed on the
     VMEM-resident tiles in-kernel (no P matrix, no XLA matvecs).
-    The rest as admm_iterations_res.  Returns (x, z, y, pr, du) batch-major.
+    The rest as admm_iterations_res.  Returns (x, z, y, pr, du, sv)
+    batch-major.
 
     layout="minor": the scaled problem (Kinv, A, g, l, u, rho, Hs, d, e)
     arrives ALREADY batch-minor (dims..., B) — straight from the fused
@@ -303,7 +330,7 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
     epi_kernel = functools.partial(
         _zy_epilogue_kernel, iters=iters, alpha=float(alpha)
     )
-    xo, pr, du = pl.pallas_call(
+    xo, pr, du, sv = pl.pallas_call(
         epi_kernel,
         grid=grid,
         in_specs=[
@@ -312,9 +339,10 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             vec_spec(n), vec_spec(m), vec_spec(m),
             vec_spec(m), vec_spec(m), vec_spec(n), vec_spec(m),
         ],
-        out_specs=(vec_spec(n), vec_spec(1), vec_spec(1)),
+        out_specs=(vec_spec(n), vec_spec(1), vec_spec(1), vec_spec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((n, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
@@ -326,7 +354,7 @@ def admm_zy_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
 
     back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
     return (back(xo), back(zo), back(yo),
-            back(pr)[:, 0], back(du)[:, 0])
+            back(pr)[:, 0], back(du)[:, 0], back(sv)[:, 0])
 
 
 @functools.partial(
@@ -416,8 +444,9 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
 
     Same scaled batch-major inputs as admm_iterations, plus the scaled
     Hessian Hs (B,n,n), ORIGINAL bounds l_orig/u_orig (B,m), and the Ruiz
-    scalings d (B,n), e (B,m).  Returns (x, z, y, pr, du) batch-major in
-    scaled space (x,z,y) / unscaled residuals (pr, du).
+    scalings d (B,n), e (B,m).  Returns (x, z, y, pr, du, sv) batch-major in
+    scaled space (x,z,y) / unscaled residuals (pr, du) and the unscaled
+    sign/complementarity violation sv (ops/qp._sign_violation).
 
     layout="minor" as in admm_zy_iterations_res: the scaled problem
     (Kinv, A, g, l, u, rho, Hs, d, e) is already batch-minor."""
@@ -467,7 +496,7 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
     kernel = functools.partial(
         _admm_res_kernel, iters=iters, sigma=float(sigma), alpha=float(alpha)
     )
-    xo, zo, yo, pr, du = pl.pallas_call(
+    xo, zo, yo, pr, du, sv = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -478,11 +507,12 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
             vec_spec(n), vec_spec(m),
         ],
         out_specs=(vec_spec(n), vec_spec(m), vec_spec(m),
-                   vec_spec(1), vec_spec(1)),
+                   vec_spec(1), vec_spec(1), vec_spec(1)),
         out_shape=(
             jax.ShapeDtypeStruct((n, Bp), dtype),
             jax.ShapeDtypeStruct((m, Bp), dtype),
             jax.ShapeDtypeStruct((m, Bp), dtype),
+            jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
             jax.ShapeDtypeStruct((1, Bp), dtype),
         ),
@@ -495,4 +525,4 @@ def admm_iterations_res(Kinv, A, g, l, u, rho, x0, z0, y0,
 
     back = lambda arr: jnp.transpose(arr, (1, 0))[:B]
     return (back(xo), back(zo), back(yo),
-            back(pr)[:, 0], back(du)[:, 0])
+            back(pr)[:, 0], back(du)[:, 0], back(sv)[:, 0])

@@ -1133,7 +1133,7 @@ def solve_batched(
                 layout="minor" if minor else "major",
             )
 
-    x, z, y, pr_b, du_b = run_admm(
+    x, z, y, pr_b, du_b, sv_b = run_admm(
         warm_s.x, warm_s.z, warm_s.y, params.iterations
     )
     # cold start (any scenario with an all-zero warm state): spend the init
@@ -1145,10 +1145,10 @@ def solve_batched(
             | jnp.any(warm.z != 0, axis=-1)
             | jnp.any(warm.y != 0, axis=-1)
         )
-        x, z, y, pr_b, du_b = jax.lax.cond(
+        x, z, y, pr_b, du_b, sv_b = jax.lax.cond(
             jnp.any(per_cold),
             lambda st: run_admm(st[0], st[1], st[2], extra),
-            lambda st: (st[0], st[1], st[2], pr_b, du_b),
+            lambda st: (st[0], st[1], st[2], pr_b, du_b, sv_b),
             (x, z, y),
         )
     admm = QPState(x=dscale_mj * x, z=z / escale_mj, y=escale_mj * y)
@@ -1313,11 +1313,12 @@ def solve_batched(
     res_b = jnp.maximum(pr_b, du_b)
     res_b = jnp.where(jnp.isfinite(res_b), res_b, jnp.inf)
     polished = jnp.zeros_like(res_b, dtype=bool)
-    # sign-augmented acceptance (see _accept_better): the ADMM iterate's
-    # multipliers are complementary by projection, so sv_b starts ~0;
-    # a polish candidate that solved a WRONG active set carries a large
-    # sign violation and cannot displace it
-    sv_b = _sign_violation(data, best.x, best.y)
+    # sign-augmented acceptance (see _accept_better): sv_b arrives from
+    # the ADMM kernel's epilogue (computed on the resident tiles — the
+    # XLA _sign_violation call re-reads H and A from HBM); the ADMM
+    # iterate's multipliers are complementary by projection, so it starts
+    # ~0, and a polish candidate that solved a WRONG active set carries a
+    # large violation and cannot displace it
     sinv_last = sinv_chain_in
     # active-set DROP rule across polish rounds (see _rescue_core): the
     # working iterate `w_pol` follows the candidate chain even through
@@ -1576,14 +1577,14 @@ def solve_batched(
             # 1.7e-2 where the cold one reaches ~3e-3)
             Kinv_cold = ns_inverse(K_, params.ns_iters)
             if params.sigma == 0.0:
-                x, z, y, pr_c, du_c = qp_kernel.admm_zy_iterations_res(
+                x, z, y, pr_c, du_c, sv_c = qp_kernel.admm_zy_iterations_res(
                     Kinv_cold, sA_, sg_, sl_, su_, rho_,
                     best.x / d_, best.z * e_, best.y / e_,
                     sH_, lo_, uo_, d_, e_,
                     iters=params.rescue_iterations, alpha=params.alpha,
                 )
             else:
-                x, z, y, pr_c, du_c = qp_kernel.admm_iterations_res(
+                x, z, y, pr_c, du_c, sv_c = qp_kernel.admm_iterations_res(
                     Kinv_cold, sA_, sg_, sl_, su_, rho_,
                     best.x / d_, best.z * e_, best.y / e_,
                     sH_, lo_, uo_, d_, e_,
@@ -1596,7 +1597,7 @@ def solve_batched(
             best, pr_b, du_b, res_b, polished = _accept_better(
                 best, pr_b, du_b, res_b, polished,
                 cand, pr_c, du_c, res_c, cand_polished=jnp.zeros_like(
-                    polished), data=data_,
+                    polished), data=data_, sv_cand=sv_c,
             )
             if params.polish:
                 def sinv_cold(S_thunk):

@@ -103,7 +103,7 @@ def test_zy_kernel_matches_xla_sigma0(rng):
     Kinv = jnp.linalg.inv(K)
     ones_n = jnp.ones((B, n), jnp.float32)
     ones_m = jnp.ones((B, m), jnp.float32)
-    x_p, z_p, y_p, pr, du = admm_zy_iterations_res(
+    x_p, z_p, y_p, pr, du, _sv = admm_zy_iterations_res(
         Kinv, data.A, data.g, data.l, data.u, rho_b,
         warm.x, warm.z, warm.y, data.H, data.l, data.u, ones_n, ones_m,
         iters=iters, alpha=alpha, interpret=True,

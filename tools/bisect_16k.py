@@ -103,18 +103,8 @@ def main():
     if Kinv is None:
         return
 
-    # stage 3: ADMM zy kernel (batch-minor)
-    from quadrupedwholebodycontroller_tpu.ops.pallas import qp_kernel
-
-    tr = lambda a: jnp.transpose(
-        a, (a.ndim - 1,) + tuple(range(a.ndim - 1))
-    )
-    stage("admm_zy_kernel", lambda: qp_kernel.admm_zy_iterations_res(
-        Kinv, sA, sg, sl, su, rho,
-        tr(wxs), tr(wzs), tr(wys), sH, sk["l"], sk["u"],
-        tr(dscale), tr(escale),
-        iters=qp.iterations, alpha=qp.alpha, layout="minor",
-    ))
+    # (the ADMM/polish kernels are exercised inside stage 4/5 with the
+    # production call conventions)
 
     # stage 4: polish kernel via one full solve_batched (prepared path)
     cache = qpm.make_cache(B, n, m, qp, dtype)
