@@ -163,14 +163,21 @@ class QPSolverParams:
     # improves.  Wrapped in a batch-level lax.cond: costs nothing on the
     # (typical) steps where every scenario is already below threshold.
     rescue_threshold: float = 3e-3  # <= 0 disables
-    rescue_iterations: int = 100  # on-chip tuned: with the cold-K^-1
-    rescue_polish_rounds: int = 2  # in-scope rescue, 100/2 matches 40/1 on
-                                  # replay speed (~240k, the cold NS
-                                  # dominates the fire cost) but holds the
-                                  # EXTREME-sweep tail at 3.2e-3 where 40/1
-                                  # leaves 6.8e-3 (tools/tune_rescue.py +
-                                  # tune_sweep.py rescue A/Bs)
-    rescue_batch: int = 256       # compact the rescue to the top-k worst
+    rescue_iterations: int = 40   # round-4 re-tune: with the polish drop
+    rescue_polish_rounds: int = 1  # rounds fixing active sets BEFORE the
+                                  # rescue, the heavy round-3 budget
+                                  # (100 it / 2 cold polish rounds) is
+                                  # wasted work — the lean 40/1 budget at
+                                  # rescue_batch=128 holds the extreme-
+                                  # sweep tail at 2.85e-3 AND is faster
+                                  # than the heavy budget on the sweep
+                                  # (54.6k vs 53.8k steps/s) and equal on
+                                  # the standing bench.  The measured 1e-3
+                                  # frontier: 60/1 reaches 1.29e-3 at
+                                  # 10.5% sweep cost; only 100/2 reaches
+                                  # 9.99e-4, at 19% (tools/tune_qp.py
+                                  # rescue_* configs + tune_sweep.py)
+    rescue_batch: int = 128       # compact the rescue to the top-k worst
                                   # scenarios (jax.lax.top_k on the relative
                                   # KKT): the cold K^-1 / extra ADMM / cold-
                                   # Schur polish run on a gathered (k, ...)

@@ -131,6 +131,14 @@ CONFIGS = {
         rescue_threshold=1e-3, rescue_iterations=60,
         rescue_polish_rounds=1, rescue_batch=128,
     ),
+    "rescue_3e3_lean": QPSolverParams(
+        rescue_threshold=3e-3, rescue_iterations=40,
+        rescue_polish_rounds=1, rescue_batch=128,
+    ),
+    "rescue_1e3_it80": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=80,
+        rescue_polish_rounds=1, rescue_batch=192,
+    ),
     "compfinal1": QPSolverParams(comp_final_refine=1),
     "compfinal4": QPSolverParams(comp_final_refine=4),
 }
