@@ -119,6 +119,7 @@ CONFIGS = {
         polish_rounds=1, rescue_threshold=0.0
     ),
     "drop64": QPSolverParams(drop_batch=64),
+    "drop128": QPSolverParams(drop_batch=128),
     "drop0": QPSolverParams(drop_batch=0),
     # lean 1e-3 rescue (VERDICT r3 #3): with the drop rounds fixing the
     # active sets, the rescue's remaining job is ADMM convergence — probe

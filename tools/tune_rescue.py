@@ -83,6 +83,17 @@ def main():
             base, cold_batch=512, rescue_threshold=0.0),
         "cold512_nocomp": dataclasses.replace(
             base, cold_batch=512, rescue_comp_refine=0),
+        # round-4 drop-rule cost isolation: the torque-parity machinery's
+        # evolving cost is the compacted round-2 cold polish (drop_batch
+        # scenarios, ns_iters cold Schur inverse each step where any
+        # scenario failed round 1).  "dropoff" (polish_rounds=1) bounds
+        # the total cost; dropk* size the compaction cap.  Any winner
+        # must ALSO hold the torque-parity replay (measure_torque_err)
+        # before shipping.
+        "dropoff": dataclasses.replace(base, polish_rounds=1),
+        "dropk64": dataclasses.replace(base, drop_batch=64),
+        "dropk128": dataclasses.replace(base, drop_batch=128),
+        "dropk256": base,  # = default (drop_batch=256); in-process baseline
     }
     if len(sys.argv) > 2:  # optional config filter by name substring
         keep = sys.argv[2].split(",")
