@@ -235,7 +235,7 @@ class QPSolverParams:
                                   # pre-round-3 behavior).  512 covers the
                                   # diverse 4-gait replay's worst step
                                   # (~495 switch edges at B=8192)
-    drop_batch: int = 128         # cap the polish DROP round (round 2+) at
+    drop_batch: int = 64          # cap the polish DROP round (round 2+) at
                                   # the k WORST scenarios the previous
                                   # round failed (a wrong-signed candidate
                                   # multiplier or a rejected candidate),
@@ -252,19 +252,24 @@ class QPSolverParams:
                                   # results and the staged rescue remains
                                   # the tail guarantee.  0 = full-batch
                                   # drop round (every failed scenario).
-                                  # 128 vs 256 (in-process A/B, round 4):
-                                  # evolving 350.0k vs 336.8k, diverse
-                                  # 314.2k vs 303.6k, sweep 57.1k vs
-                                  # 54.6k — IDENTICAL max KKT / flagged /
-                                  # fallen gates on all three (the cap's
-                                  # cost is per-step fixed overhead, not
-                                  # corrections forgone); 64 measures
-                                  # slightly faster still (356.8k
-                                  # evolving, 58.4k sweep) but 128 keeps
-                                  # 2x correction-capacity margin.
-                                  # Torque-parity replay (B=8) is
-                                  # cap-invariant: the cap binds only
-                                  # when more than k scenarios fail.
+                                  # Cap frontier (in-process A/B,
+                                  # round 4, tools/tune_rescue.py +
+                                  # tune_sweep.py): k=64/128/256 give
+                                  # evolving 356.8k/350.0k/336.8k,
+                                  # diverse 319.9k/314.2k/303.6k, sweep
+                                  # 58.4k/57.1k/54.6k — IDENTICAL
+                                  # max-KKT / flagged / fallen /
+                                  # tracking gates at every cap, even on
+                                  # the diverse worst case (~495 switch
+                                  # edges/step at B=8192).  The cap's
+                                  # cost is per-step fixed overhead
+                                  # (gather + cold (k, m, m) Schur NS
+                                  # inverse + scatter), not corrections
+                                  # forgone; 64 ships as measured-best
+                                  # everywhere.  Torque-parity replay
+                                  # (B=8) is cap-invariant: the cap
+                                  # binds only when more than k
+                                  # scenarios fail.
     solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build
                                   # -> warm-NS K^-1 -> ADMM kernel inputs)
