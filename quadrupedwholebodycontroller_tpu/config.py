@@ -266,10 +266,56 @@ class QPSolverParams:
                                   # (gather + cold (k, m, m) Schur NS
                                   # inverse + scatter), not corrections
                                   # forgone; 64 ships as measured-best
-                                  # everywhere.  Torque-parity replay
-                                  # (B=8) is cap-invariant: the cap
-                                  # binds only when more than k
-                                  # scenarios fail.
+                                  # everywhere.  History 256 -> 128
+                                  # (commit c3bef02 kept 128 for a 2x
+                                  # correction-capacity margin while
+                                  # 64's diverse rep looked like an
+                                  # artifact) -> 64: the committed
+                                  # BENCH_r04.json re-run resolved the
+                                  # artifact question at identical
+                                  # gates, and cap shortfalls are
+                                  # backstopped by the staged rescue
+                                  # (~495 switch edges all gated).
+                                  # Torque-parity replay (B=8) is
+                                  # cap-invariant: the cap binds only
+                                  # when more than k scenarios fail.
+    drop_fire_tol: float = 0.0    # round-5 fire bar for the drop round: a
+                                  # scenario enters the compacted round 2+
+                                  # only when, besides failing the previous
+                                  # round (wrong-signed candidate row or a
+                                  # rejected candidate), its CURRENT best
+                                  # sign-augmented residual max(res, sv)
+                                  # exceeds this.  The round-4 bar ("any
+                                  # rejection") fired the cold compacted
+                                  # Schur inverse on essentially every
+                                  # step at B=8192 even when every shipped
+                                  # solution was already torque-accurate —
+                                  # per-step fixed overhead worth ~4.6% of
+                                  # the evolving headline (VERDICT r4).
+                                  # 0 = round-4 behavior (fire on any
+                                  # failure)
+    drop_warm_iters: int = 0      # NS iterations to warm the drop round's
+                                  # compacted (k, m, m) Schur inverse from
+                                  # the carried per-scenario `sinv` rows
+                                  # instead of a full cold ns_iters start.
+                                  # The carried inverse is round 1's set;
+                                  # a drop changes the Schur matrix by a
+                                  # low-rank update, inside warm-NS range,
+                                  # and ns_inverse's divergence guard
+                                  # falls back to the Jacobi cold start.
+                                  # 0 = cold (round-4 behavior)
+    rescue_round2_batch: int = 0  # compact the rescue's polish rounds >= 2
+                                  # to the top-k scenarios still above
+                                  # rescue_threshold after the previous
+                                  # round (gather -> cold-Schur polish ->
+                                  # scatter).  Round 2 is what buys the
+                                  # sub-1.3e-3 sweep tail (PERF.md 1e-3
+                                  # frontier) but round 4 ran it over the
+                                  # whole rescue sub-batch, paying
+                                  # O(rescue_batch) cold Schur inverses
+                                  # when only the still-flagged few need
+                                  # it.  0 = uncompacted (round-4
+                                  # behavior)
     solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build
                                   # -> warm-NS K^-1 -> ADMM kernel inputs)

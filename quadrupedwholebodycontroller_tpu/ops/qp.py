@@ -1392,6 +1392,19 @@ def solve_batched(
                 # round is additionally COMPACTED per-scenario (gather /
                 # cold-invert / scatter the failed scenarios only).
                 changed_i = wrong_any_prev | ~ok_prev
+                if params.drop_fire_tol > 0:
+                    # round-5 fire bar: only scenarios whose CURRENT best
+                    # sign-augmented residual still threatens the torque
+                    # bar enter the drop round.  A rejected candidate (or
+                    # a wrong-signed row in a rejected candidate) with
+                    # max(res_b, sv_b) already tiny means the solution in
+                    # use is a certified KKT point of a consistent set —
+                    # the round-4 "any failure" bar fired the compacted
+                    # cold Schur inverse on essentially every step at
+                    # B=8192 for scenarios the re-solve could not improve
+                    changed_i = changed_i & (
+                        jnp.maximum(res_b, sv_b) > params.drop_fire_tol
+                    )
                 n_ch = jnp.sum(changed_i)
                 inf_r = jnp.full_like(pr_b, jnp.inf)
 
@@ -1429,13 +1442,43 @@ def solve_batched(
                             x=take2(w_pol.x), z=take2(w_pol.z),
                             y=take2(w_pol.y),
                         )
+                        if params.drop_warm_iters > 0:
+                            # warm the compacted inverse from the carried
+                            # round-1 rows: a drop changes the active set
+                            # by a few rows — a low-rank Schur update well
+                            # inside warm-NS range (ns_inverse's
+                            # ||I - S W|| guard falls back to the Jacobi
+                            # cold start on a genuinely changed matrix).
+                            # The round-4 comment's "wrong Schur matrix"
+                            # argument bans only the wi=0 PASS-THROUGH
+                            # (which skipped the re-solve entirely), not
+                            # a guarded warm restart; the acceptance
+                            # residuals + sign violation still certify
+                            # the candidate either way.
+                            warm_c = (
+                                jnp.transpose(
+                                    jnp.take(sinv_prev, idx2, axis=-1),
+                                    (2, 0, 1),
+                                )
+                                if s_minor
+                                else jnp.take(sinv_prev, idx2, axis=0)
+                            )
+
+                            def sinv_fn_c(S_thunk, w=warm_c):
+                                return ns_inverse(
+                                    S_thunk(), params.ns_iters,
+                                    warm=w,
+                                    warm_iters=params.drop_warm_iters,
+                                )
+                        else:
+                            def sinv_fn_c(S_thunk):
+                                return ns_inverse(S_thunk(),
+                                                  params.ns_iters)
                         pol_c, sinv_c, pr_c, du_c, sv_c = (
                             _polish_batched_kernel(
                                 data_c, w_c, params,
                                 take_c(H_polish), take_c(Hinv_polish),
-                                lambda S_thunk: ns_inverse(
-                                    S_thunk(), params.ns_iters
-                                ),
+                                sinv_fn_c,
                                 da_b=(take2(da), take2(b)),
                             )
                         )
@@ -1628,28 +1671,128 @@ def solve_batched(
                 # improvements).  Round k re-estimates from w, minus the
                 # accumulated bans.
                 w = best
-                for _ in range(params.rescue_polish_rounds):
-                    da_r, b_r = _assemble_active(data_, w, dtype_)
-                    da_r = da_r * (1.0 - banned.astype(dtype_))
-                    b_r = jnp.where(banned, 0.0, b_r)
-                    pol, _, pr_p, du_p, sv_pp = _polish_batched_kernel(
-                        data_, w, params, H_pol, Hinv_pol,
-                        sinv_cold, da_b=(da_r, b_r), G2=G2, tiles=tiles,
+                nB = res_b.shape[0]
+                k3 = params.rescue_round2_batch
+                for r_i in range(params.rescue_polish_rounds):
+                    if r_i == 0 or not (0 < k3 < nB):
+                        da_r, b_r = _assemble_active(data_, w, dtype_)
+                        da_r = da_r * (1.0 - banned.astype(dtype_))
+                        b_r = jnp.where(banned, 0.0, b_r)
+                        pol, _, pr_p, du_p, sv_pp = _polish_batched_kernel(
+                            data_, w, params, H_pol, Hinv_pol,
+                            sinv_cold, da_b=(da_r, b_r), G2=G2, tiles=tiles,
+                        )
+                        # wrong-signed candidate multipliers mark the
+                        # drops: forced at the upper bound needs
+                        # y >= -tol, at the lower bound y <= tol
+                        # (equality rows are sign-free)
+                        side_up = (b_r == data_.u) & ~eqr
+                        wrong = (da_r > 0.5) & ~eqr & jnp.where(
+                            side_up, pol.y < -tol_dr, pol.y > tol_dr
+                        )
+                        banned = banned | wrong
+                        w = pol
+                        res_p = jnp.maximum(pr_p, du_p)
+                        res_p = jnp.where(
+                            jnp.isfinite(res_p), res_p, jnp.inf
+                        )
+                        best, pr_b, du_b, res_b, polished = _accept_better(
+                            best, pr_b, du_b, res_b, polished,
+                            pol, pr_p, du_p, res_p, data=data_,
+                            sv_cand=sv_pp,
+                        )
+                        continue
+                    # COMPACTED round 2+ (round 5, VERDICT r4 #2): the
+                    # second cold-Schur polish round is what buys the
+                    # sub-1.3e-3 sweep tail, but only the scenarios STILL
+                    # above rescue_threshold after round 1 need it — run
+                    # it on the top-k3 worst of those (gather ->
+                    # cold-Schur polish -> scatter, the drop_batch
+                    # pattern) instead of the whole rescue sub-batch.
+                    flag_now = jnp.maximum(
+                        res_b, _sign_violation(data_, best.x, best.y)
                     )
-                    # wrong-signed candidate multipliers mark the drops:
-                    # forced at the upper bound needs y >= -tol, at the
-                    # lower bound y <= tol (equality rows are sign-free)
-                    side_up = (b_r == data_.u) & ~eqr
-                    wrong = (da_r > 0.5) & ~eqr & jnp.where(
-                        side_up, pol.y < -tol_dr, pol.y > tol_dr
-                    )
-                    banned = banned | wrong
-                    w = pol
-                    res_p = jnp.maximum(pr_p, du_p)
-                    res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)
-                    best, pr_b, du_b, res_b, polished = _accept_better(
-                        best, pr_b, du_b, res_b, polished,
-                        pol, pr_p, du_p, res_p, data=data_, sv_cand=sv_pp,
+                    still = flag_now > params.rescue_threshold
+                    n_still = jnp.sum(still)
+
+                    def round_compact(ops):
+                        best, pr_b, du_b, res_b, polished, w, banned = ops
+                        score = jnp.where(still, flag_now, -jnp.inf)
+                        idx3 = jax.lax.top_k(score, k3)[1]
+                        tk = lambda a: jnp.take(a, idx3, axis=0)
+                        tk_pol = lambda t: (
+                            None if t is None
+                            else ((tk(t[0]), tk(t[1]), t[2])
+                                  if isinstance(t, tuple) else tk(t))
+                        )
+                        data_s = QPData(*(tk(leaf) for leaf in data_))
+                        w_s = QPState(x=tk(w.x), z=tk(w.z), y=tk(w.y))
+                        banned_s = tk(banned)
+                        eqr_s, tol_s = tk(eqr), tk(tol_dr)
+                        da_r, b_r = _assemble_active(data_s, w_s, dtype_)
+                        da_r = da_r * (1.0 - banned_s.astype(dtype_))
+                        b_r = jnp.where(banned_s, 0.0, b_r)
+                        # G2/tiles are full-batch invariants — the compact
+                        # polish re-derives lazily from the gathered rows
+                        pol_s, _, pr_s, du_s, sv_s = _polish_batched_kernel(
+                            data_s, w_s, params, tk_pol(H_pol),
+                            tk_pol(Hinv_pol), sinv_cold,
+                            da_b=(da_r, b_r),
+                        )
+                        # top_k pads with below-threshold rows when fewer
+                        # than k3 are still flagged — mask their
+                        # candidates out
+                        sel = tk(still)
+                        pr_s = jnp.where(sel, pr_s, jnp.inf)
+                        du_s = jnp.where(sel, du_s, jnp.inf)
+                        sv_s = jnp.where(sel, sv_s, jnp.inf)
+                        side_up = (b_r == data_s.u) & ~eqr_s
+                        wrong_s = sel[:, None] & (da_r > 0.5) & ~eqr_s \
+                            & jnp.where(
+                                side_up, pol_s.y < -tol_s, pol_s.y > tol_s
+                            )
+                        res_s = jnp.maximum(pr_s, du_s)
+                        res_s = jnp.where(
+                            jnp.isfinite(res_s), res_s, jnp.inf
+                        )
+                        best_s, prb_s, dub_s, resb_s, pols_s = (
+                            _accept_better(
+                                QPState(x=tk(best.x), z=tk(best.z),
+                                        y=tk(best.y)),
+                                tk(pr_b), tk(du_b), tk(res_b),
+                                tk(polished),
+                                pol_s, pr_s, du_s, res_s, data=data_s,
+                                sv_cand=sv_s,
+                            )
+                        )
+                        selc = sel[:, None]
+                        w2 = QPState(
+                            x=w.x.at[idx3].set(
+                                jnp.where(selc, pol_s.x, w_s.x)),
+                            z=w.z.at[idx3].set(
+                                jnp.where(selc, pol_s.z, w_s.z)),
+                            y=w.y.at[idx3].set(
+                                jnp.where(selc, pol_s.y, w_s.y)),
+                        )
+                        return (
+                            QPState(
+                                x=best.x.at[idx3].set(best_s.x),
+                                z=best.z.at[idx3].set(best_s.z),
+                                y=best.y.at[idx3].set(best_s.y),
+                            ),
+                            pr_b.at[idx3].set(prb_s),
+                            du_b.at[idx3].set(dub_s),
+                            res_b.at[idx3].set(resb_s),
+                            polished.at[idx3].set(pols_s),
+                            w2,
+                            banned.at[idx3].set(banned_s | wrong_s),
+                        )
+
+                    ops = (best, pr_b, du_b, res_b, polished, w, banned)
+                    best, pr_b, du_b, res_b, polished, w, banned = (
+                        jax.lax.cond(
+                            n_still > 0, round_compact, lambda o: o, ops
+                        )
                     )
                 if params.rescue_comp_refine > 0:
                     # compensated (double-f32) refinement candidate: the

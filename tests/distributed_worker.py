@@ -4,8 +4,11 @@ Each worker contributes 4 virtual CPU devices to a 2-process, 8-device
 (hosts=2, chips=4) mesh, rendezvouses through parallel.mesh.distributed_init
 (the ROS-master replacement, reference whole_body_controller.cpp:42-49), and
 runs ONE real sharded sweep step (planner + WBC + physics + gloo psum metric
-reduction).  Prints a RESULT json line the parent test compares across
-processes and against the single-process reference value.
+reduction) AND the FLAGSHIP bench path (sharded_wbc_step: QPCache + fused
+pallas setup + warm gating + rescue, cold then warm — VERDICT r4 #4: the
+program SCALING.json projects from, across a real process boundary).
+Prints RESULT / FLAGSHIP json lines the parent test compares across
+processes and against single-process references.
 
 Not a pytest file (no test_ prefix) — launched by tests/test_distributed.py.
 """
@@ -22,6 +25,47 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def flagship_inputs(B=8):
+    """Deterministic flagship-step inputs (f32, the production dtype),
+    shared by the sharded worker and the parent's per-scenario B=1
+    reference so the cross-process comparison is bitwise-meaningful.
+    Mirrors tests/test_parallel.py test_sharded_flagship_matches_single_device."""
+    import jax
+    import jax.numpy as jnp
+
+    from quadrupedwholebodycontroller_tpu.config import (
+        ControllerParams,
+        QPSolverParams,
+    )
+    from quadrupedwholebodycontroller_tpu.control import wbc
+    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
+    from quadrupedwholebodycontroller_tpu.models.anymal import (
+        INITIAL_JOINT_POS,
+    )
+    from quadrupedwholebodycontroller_tpu.ops import qp as qpm
+
+    dtype = jnp.float32
+    model = anymal_d_model(dtype=dtype)
+    cp = ControllerParams()
+    qp = QPSolverParams()
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(key, 3)
+    obs = wbc.RobotObservation(
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
+        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
+        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
+        base_vel=0.01 * jax.random.normal(k2, (B, 6), dtype),
+        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
+        qd=0.02 * jax.random.normal(k3, (B, 12), dtype),
+    )
+    ref = jax.tree.map(
+        lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
+    )
+    carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
+    cache = qpm.make_cache(B, 42, 70, qp, dtype)
+    return model, cp, qp, obs, ref, carry, cache
 
 
 def main():
@@ -93,6 +137,49 @@ def main():
                 "max_kkt": scalar(metrics.max_kkt),
                 "fallen_fraction": scalar(metrics.fallen_fraction),
                 "local_base_z": [float(z) for z in local_z],
+            }
+        ),
+        flush=True,
+    )
+
+    # FLAGSHIP across the real process boundary (VERDICT r4 #4): the bench
+    # program itself — QPCache + fused pallas setup + warm gating +
+    # rescue — cold then warm over the (2, 4) gloo mesh.  The parent
+    # compares each process's local tau shard BITWISE against the
+    # single-process per-scenario B=1 steps (the leaf-exactness
+    # test_parallel.py establishes on the virtual mesh).
+    from quadrupedwholebodycontroller_tpu.parallel import (
+        shard_batch,
+        sharded_wbc_step,
+    )
+
+    model32, cp32, qp32, obs, ref, fcarry, fcache = flagship_inputs()
+    sstep = sharded_wbc_step(model32, cp32, qp32, mesh)
+    obs_s, ref_s, carry_s = (
+        shard_batch(obs, mesh), shard_batch(ref, mesh),
+        shard_batch(fcarry, mesh),
+    )
+    # the cache's minor-layout leaves are batch-LAST; let jit shard them
+    # per the in_specs (shard_batch would mis-shard kinv/sinv)
+    out_a, carry_a, cache_a = sstep(obs_s, ref_s, carry_s, fcache, False)
+    out_b, carry_b, cache_b = sstep(obs_s, ref_s, carry_a, cache_a, True)
+
+    def local_rows(x):
+        shards = sorted(
+            x.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+    print(
+        "FLAGSHIP "
+        + json.dumps(
+            {
+                "process": pid,
+                "tau_cold": local_rows(out_a.tau).tolist(),
+                "tau_warm": local_rows(out_b.tau).tolist(),
+                "kkt_warm": local_rows(
+                    out_b.qp_info.kkt_residual
+                ).tolist(),
             }
         ),
         flush=True,

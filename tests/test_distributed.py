@@ -44,6 +44,7 @@ def test_two_process_sweep_matches_single_process():
         for pid in range(2)
     ]
     results = {}
+    flagships = {}
     try:
         for p in procs:
             out, err = p.communicate(timeout=600)
@@ -52,6 +53,11 @@ def test_two_process_sweep_matches_single_process():
             assert lines, f"no RESULT line:\n{out}\n{err}"
             r = json.loads(lines[-1][len("RESULT "):])
             results[r["process"]] = r
+            flines = [l for l in out.splitlines()
+                      if l.startswith("FLAGSHIP ")]
+            assert flines, f"no FLAGSHIP line:\n{out}\n{err}"
+            f = json.loads(flines[-1][len("FLAGSHIP "):])
+            flagships[f["process"]] = f
     finally:
         for p in procs:
             if p.poll() is None:
@@ -101,3 +107,58 @@ def test_two_process_sweep_matches_single_process():
     ref_z = np.asarray(ref_carry.sim.base_p[:, 2])
     np.testing.assert_allclose(np.asarray(r0["local_base_z"]), ref_z[:4], rtol=1e-10)
     np.testing.assert_allclose(np.asarray(r1["local_base_z"]), ref_z[4:], rtol=1e-10)
+
+    # FLAGSHIP across the real process boundary (VERDICT r4 #4): each
+    # process's local tau shard of the sharded bench program (cold + warm
+    # cached step) must BITWISE equal the single-process per-scenario B=1
+    # steps — the same leaf-exactness test_parallel.py establishes on the
+    # in-process virtual mesh, now across gloo.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from distributed_worker import flagship_inputs
+
+    from quadrupedwholebodycontroller_tpu.control import wbc
+
+    model32, cp32, qp32, obs, ref, fcarry, fcache = flagship_inputs()
+    B = obs.q.shape[0]
+
+    step_cold = jax.jit(
+        lambda o, r, c, ca: wbc.wbc_step_batched(
+            model32, cp32, qp32, o, r, c, True, "pallas", ca, False
+        )
+    )
+    step_warm = jax.jit(
+        lambda o, r, c, ca: wbc.wbc_step_batched(
+            model32, cp32, qp32, o, r, c, True, "pallas", ca, True
+        )
+    )
+
+    def take1(tree, i):
+        return jax.tree.map(lambda x: x[i: i + 1], tree)
+
+    tau_cold_ref, tau_warm_ref = [], []
+    for i in range(B):
+        cache_i = jax.tree.map(
+            lambda x: x[..., i: i + 1] if x.shape[0] != B else x[i: i + 1],
+            fcache,
+        )
+        oa, ca_, cca = step_cold(
+            take1(obs, i), take1(ref, i), take1(fcarry, i), cache_i
+        )
+        ob, _, _ = step_warm(take1(obs, i), take1(ref, i), ca_, cca)
+        tau_cold_ref.append(np.asarray(oa.tau[0]))
+        tau_warm_ref.append(np.asarray(ob.tau[0]))
+    tau_cold_ref = np.stack(tau_cold_ref)
+    tau_warm_ref = np.stack(tau_warm_ref)
+
+    for pid_, rows in ((0, slice(0, 4)), (1, slice(4, 8))):
+        f = flagships[pid_]
+        np.testing.assert_array_equal(
+            np.asarray(f["tau_cold"], np.float32), tau_cold_ref[rows],
+            err_msg=f"tau_cold process {pid_}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f["tau_warm"], np.float32), tau_warm_ref[rows],
+            err_msg=f"tau_warm process {pid_}",
+        )
+        kkt = np.asarray(f["kkt_warm"])
+        assert np.all(np.isfinite(kkt)) and kkt.max() < 1e-3, kkt

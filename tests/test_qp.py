@@ -290,3 +290,132 @@ def test_compact_drop_round_matches_full(rng):
     # both runs end sign-clean (the poisoned duals were dropped)
     sv_c = qp._sign_violation(data, st_c.x, st_c.y)
     assert float(jnp.max(sv_c)) < 1e-4, float(jnp.max(sv_c))
+
+
+def _poisoned_batch(rng, B=8, n=8, m=12, dtype=jnp.float32):
+    """B random QPs with two scenarios' warm duals poisoned so their
+    round-1 polish solves a wrong active set and the drop round fires."""
+    datas = [random_qp(rng, n=n, m=m, n_eq=2, dtype=jnp.float64)
+             for _ in range(B)]
+    data = jax.tree.map(lambda *xs: jnp.stack(xs).astype(dtype), *datas)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * B), qp.QPState.zeros(n, m, dtype)
+    )
+    warm = warm._replace(
+        y=warm.y.at[2, 5].set(300.0).at[6, 7].set(-250.0)
+    )
+    return data, warm
+
+
+def test_drop_fire_tol_semantics(rng):
+    """drop_fire_tol gates the drop round on the CURRENT best residual:
+    (a) poisoned scenarios (large sign violation) still cross a meaningful
+    bar and get fixed; (b) an unreachably high bar makes the drop round a
+    no-op, bitwise equal to polish_rounds=1 (the skip branch)."""
+    import dataclasses
+
+    dtype = jnp.float32
+    B, n, m = 8, 8, 12
+    data, warm = _poisoned_batch(rng, B, n, m, dtype)
+    base = QPSolverParams(rescue_threshold=0.0, drop_batch=3)
+
+    def run(p):
+        cache = qp.make_cache(B, n, m, p, dtype)
+        return qp.solve_batched(
+            data, warm, p, backend="pallas", cache=cache, use_warm=False
+        )
+
+    st0, inf0, _ = run(base)  # fire bar off (round-4 behavior)
+    st1, inf1, _ = run(dataclasses.replace(base, drop_fire_tol=1e-5))
+    # (a) the poisoned scenarios sit far above 1e-5 sign-augmented
+    # residual after round 1, so the gated drop round still fires and
+    # the result is sign-clean and matches the ungated run
+    sv1 = qp._sign_violation(data, st1.x, st1.y)
+    assert float(jnp.max(sv1)) < 1e-4, float(jnp.max(sv1))
+    np.testing.assert_allclose(
+        np.asarray(st1.x), np.asarray(st0.x), atol=1e-5
+    )
+    # (b) an unreachable bar == no drop round == polish_rounds=1, bitwise
+    st2, inf2, _ = run(dataclasses.replace(base, drop_fire_tol=1e9))
+    st3, inf3, _ = run(dataclasses.replace(base, polish_rounds=1))
+    np.testing.assert_array_equal(np.asarray(st2.x), np.asarray(st3.x))
+    np.testing.assert_array_equal(
+        np.asarray(inf2.kkt_residual), np.asarray(inf3.kkt_residual)
+    )
+
+
+def test_drop_warm_iters_matches_cold(rng):
+    """Warming the compacted drop-round Schur inverse from the carried
+    round-1 rows (drop_warm_iters > 0) must reproduce the cold-inverse
+    drop round: same recovered solutions, sign-clean."""
+    import dataclasses
+
+    dtype = jnp.float32
+    B, n, m = 8, 8, 12
+    data, warm = _poisoned_batch(rng, B, n, m, dtype)
+    base = QPSolverParams(rescue_threshold=0.0, drop_batch=3)
+    warmed = dataclasses.replace(base, drop_warm_iters=8)
+
+    def run(p):
+        cache = qp.make_cache(B, n, m, p, dtype)
+        return qp.solve_batched(
+            data, warm, p, backend="pallas", cache=cache, use_warm=False
+        )
+
+    st_c, inf_c, _ = run(base)
+    st_w, inf_w, _ = run(warmed)
+    np.testing.assert_allclose(
+        np.asarray(st_w.x), np.asarray(st_c.x), atol=1e-5
+    )
+    sv_w = qp._sign_violation(data, st_w.x, st_w.y)
+    assert float(jnp.max(sv_w)) < 1e-4, float(jnp.max(sv_w))
+    # quality parity: the warm round's certificates are as good
+    assert float(jnp.max(inf_w.kkt_residual)) <= (
+        float(jnp.max(inf_c.kkt_residual)) + 1e-5
+    )
+
+
+def test_rescue_round2_compact_holds_threshold(rng):
+    """rescue_round2_batch > 0 compacts the rescue's polish rounds >= 2 to
+    the still-flagged scenarios; the guarantee (max KKT under threshold on
+    a recoverable batch) must hold as with the full round, and clean
+    batches must take the identical no-op branch."""
+    import dataclasses
+
+    dtype = jnp.float32
+    B, n, m = 8, 10, 16
+    datas = [random_qp(np.random.default_rng(s), n=n, m=m,
+                       dtype=jnp.float64) for s in range(B)]
+    data = jax.tree.map(lambda *xs: jnp.stack(xs).astype(dtype), *datas)
+    warm = jax.tree.map(
+        lambda x: jnp.stack([x] * B), qp.QPState.zeros(n, m, dtype)
+    )
+    # starve the main solve so the rescue must do the work
+    base = QPSolverParams(
+        iterations=3, cold_iterations=3,
+        rescue_threshold=1e-3, rescue_iterations=150,
+        rescue_polish_rounds=2,
+    )
+    full = dataclasses.replace(base, rescue_round2_batch=0)
+    comp = dataclasses.replace(base, rescue_round2_batch=3)
+
+    def run(p):
+        cache = qp.make_cache(B, n, m, p, dtype)
+        return qp.solve_batched(
+            data, warm, p, backend="pallas", cache=cache, use_warm=False
+        )
+
+    st_f, inf_f, _ = run(full)
+    st_c, inf_c, _ = run(comp)
+    thr = 1e-3
+    assert float(jnp.max(inf_f.kkt_residual)) < thr
+    assert float(jnp.max(inf_c.kkt_residual)) < thr
+    sv_c = qp._sign_violation(data, st_c.x, st_c.y)
+    assert float(jnp.max(sv_c)) < 1e-3, float(jnp.max(sv_c))
+    # a clean batch (default budget) never enters the rescue: compaction
+    # config cannot change the result
+    clean_f = QPSolverParams(rescue_polish_rounds=2, rescue_round2_batch=0)
+    clean_c = dataclasses.replace(clean_f, rescue_round2_batch=3)
+    st0, _, _ = run(clean_f)
+    st1, _, _ = run(clean_c)
+    np.testing.assert_array_equal(np.asarray(st0.x), np.asarray(st1.x))

@@ -65,9 +65,16 @@ def test_both_replays_are_kkt_certified(arrays):
     assert float(f32["kkt"].max()) < 1e-5     # f32: 2.2e-7 measured
 
 
-def test_worst_steps_are_indeterminate_stance_not_divergence(arrays):
-    """The 5 worst steps sit in 3-stance phases (statically indeterminate
-    force split), away from contact switches — the documented mechanism."""
+def test_worst_steps_are_illconditioned_stance_not_divergence(arrays):
+    """The 5 worst (still sub-1e-3) steps sit in 3-stance phases, away
+    from contact switches.  NOT because the force split is indeterminate
+    — H has R = I on all 42 variables, the minimizer is unique, and the
+    round-3 "solution multiplicity" story is RETRACTED (PERF.md "Root
+    cause of the old tail") — but because 3-contact stances leave the
+    force-split direction worst-conditioned, so the residual f32
+    rounding shows up largest there.  The structure guards against a
+    regression to the real failure mode (mis-classified active sets,
+    whose signature was large errors AT switch-adjacent steps)."""
     ref, f32 = arrays
     traj = np.load(os.path.join(ROOT, "data", "walk_traj_400hz.npz"))
     c, new = traj["contacts"], traj["ref_is_new"]
@@ -84,3 +91,52 @@ def test_worst_steps_are_indeterminate_stance_not_divergence(arrays):
     for t in np.argsort(-step_err)[:5]:
         assert c[t].sum() == 3, (t, c[t])
         assert not near[t], t
+
+
+# ---- diverse 4-gait replay artifacts (VERDICT r4 missing #1) ----------
+# The round-4 failure mode was gait-phase-dependent (stale duals carried
+# from earlier phases), so parity is additionally pinned on the
+# heterogeneous replay: walk / fast turn / trot / payload+low-friction
+# (tools/make_diverse_traj.py), desynchronized contact switches.
+
+CPU64_DIV = os.path.join(ROOT, "data", "torque_cpu64_diverse.npz")
+RUN_DIV = os.path.join(ROOT, "data", "torque_run_diverse.npz")
+
+
+@pytest.fixture(scope="module")
+def arrays_diverse():
+    if not (os.path.exists(CPU64_DIV) and os.path.exists(RUN_DIV)):
+        pytest.skip("diverse torque artifacts not present")
+    return np.load(CPU64_DIV), np.load(RUN_DIV)
+
+
+def test_diverse_artifacts_cover_all_gaits(arrays_diverse):
+    ref, f32 = arrays_diverse
+    traj = np.load(os.path.join(ROOT, "data", "diverse_traj_400hz.npz"))
+    P, T = traj["base_R"].shape[:2]
+    assert ref["tau"].shape == (T, P, 12)
+    assert f32["tau"].shape == (T, P, 12)
+    assert str(f32["backend"]) != "cpu"
+    assert str(ref["backend"]) == "cpu"
+
+
+def test_diverse_torque_error_distribution_within_bounds(arrays_diverse):
+    """The BASELINE <= 1e-3 N.m torque-parity bar, held on-chip in f32
+    on EVERY gait of the diverse replay (PERF.md parity table, diverse
+    row).  The drop rule was built for exactly these desynchronized
+    switch-edge workloads."""
+    ref, f32 = arrays_diverse
+    err = np.abs(f32["tau"] - ref["tau"])  # (T, 4, 12)
+    assert np.median(err) < 1e-4
+    assert np.percentile(err, 99) < 5e-4
+    assert err.max() < 1e-3              # the bar, met at the MAX
+    # ... and per gait (walk / fast_turn / trot / payload_lowfric)
+    for g in range(err.shape[1]):
+        assert err[:, g].max() < 1e-3, (g, err[:, g].max())
+    assert np.abs(f32["grf"] - ref["grf"]).max() < 5e-3
+
+
+def test_diverse_replays_are_kkt_certified(arrays_diverse):
+    ref, f32 = arrays_diverse
+    assert float(ref["kkt"].max()) < 1e-6
+    assert float(f32["kkt"].max()) < 1e-4

@@ -142,6 +142,31 @@ CONFIGS = {
     ),
     "compfinal1": QPSolverParams(comp_final_refine=1),
     "compfinal4": QPSolverParams(comp_final_refine=4),
+    # round-5: rescue-off at the SHIPPED drop cap (ADVICE r4: the README
+    # "guarantee is ~free" A/B compared across the cap flip)
+    "norescue_d64": QPSolverParams(rescue_threshold=0.0, drop_batch=64),
+    # round-5 drop-round fire bar / warm compacted inverse (VERDICT r4 #1)
+    "ft1e5": QPSolverParams(drop_fire_tol=1e-5),
+    "ft1e5_dw8": QPSolverParams(drop_fire_tol=1e-5, drop_warm_iters=8),
+    # round-5 compacted rescue round 2 (VERDICT r4 #2): the 1e-3 frontier
+    # blocker was the SECOND cold polish round running over the whole
+    # rescue sub-batch; r2cK caps it at the K still-flagged worst
+    "rescue_1e3_60_r2c32": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=60,
+        rescue_polish_rounds=2, rescue_batch=128, rescue_round2_batch=32,
+    ),
+    "rescue_1e3_60_r2c16": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=60,
+        rescue_polish_rounds=2, rescue_batch=128, rescue_round2_batch=16,
+    ),
+    "rescue_1e3_100_r2c32": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=100,
+        rescue_polish_rounds=2, rescue_batch=128, rescue_round2_batch=32,
+    ),
+    "rescue_3e3_r2c32": QPSolverParams(
+        rescue_iterations=40, rescue_polish_rounds=2,
+        rescue_round2_batch=32,
+    ),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))

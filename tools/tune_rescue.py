@@ -91,9 +91,27 @@ def main():
         # must ALSO hold the torque-parity replay (measure_torque_err)
         # before shipping.
         "dropoff": dataclasses.replace(base, polish_rounds=1),
+        # explicitly pinned caps (the shipped default has moved 256 ->
+        # 128 -> 64 across round 4; a config that aliases `base` silently
+        # re-measures whatever ships — ADVICE r4)
         "dropk64": dataclasses.replace(base, drop_batch=64),
         "dropk128": dataclasses.replace(base, drop_batch=128),
-        "dropk256": base,  # = default (drop_batch=256); in-process baseline
+        "dropk256": dataclasses.replace(base, drop_batch=256),
+        # round-5 drop-round cost recovery (VERDICT r4 #1): gate the drop
+        # round on the current best sign-augmented residual
+        # (drop_fire_tol) and/or warm the compacted Schur inverse from
+        # the carried rows (drop_warm_iters).  Winners must hold the
+        # torque-parity replay (measure_torque_err, walk AND diverse)
+        # before shipping.
+        "ft1e6": dataclasses.replace(base, drop_fire_tol=1e-6),
+        "ft1e5": dataclasses.replace(base, drop_fire_tol=1e-5),
+        "ft1e4": dataclasses.replace(base, drop_fire_tol=1e-4),
+        "dw8": dataclasses.replace(base, drop_warm_iters=8),
+        "dw12": dataclasses.replace(base, drop_warm_iters=12),
+        "ft1e5_dw8": dataclasses.replace(
+            base, drop_fire_tol=1e-5, drop_warm_iters=8),
+        "ft1e4_dw8": dataclasses.replace(
+            base, drop_fire_tol=1e-4, drop_warm_iters=8),
     }
     if len(sys.argv) > 2:  # optional config filter by name substring
         keep = sys.argv[2].split(",")
