@@ -304,6 +304,22 @@ class QPSolverParams:
                                   # and ns_inverse's divergence guard
                                   # falls back to the Jacobi cold start.
                                   # 0 = cold (round-4 behavior)
+    drop_sinv_refresh: int = 1    # 1 (round-4 behavior): scatter the drop
+                                  # round's freshly inverted (k, m, m)
+                                  # Schur blocks back into the carried
+                                  # per-scenario sinv rows.  In the
+                                  # batch-minor layout that is a
+                                  # lane-axis gather + scatter over the
+                                  # (m, m, B) carried tensor (~160 MB at
+                                  # B=8192) on every fired step.  0 skips
+                                  # the refresh: the carried rows keep
+                                  # round 1's inverse — the cross-step
+                                  # cache is warm-gated and safeguarded
+                                  # anyway (wi_polish=0 pass-through is
+                                  # protected by the polish acceptance
+                                  # residuals), so staleness costs at
+                                  # most an extra drop-round fire next
+                                  # step
     rescue_round2_batch: int = 0  # compact the rescue's polish rounds >= 2
                                   # to the top-k scenarios still above
                                   # rescue_threshold after the previous

@@ -1339,9 +1339,20 @@ def solve_batched(
     ok_prev = wrong_any_prev = None  # round-1 outcomes, set at loop bottom
     for round_i in range(params.polish_rounds if params.polish else 0):
         if cache is not None:
-            da, b = _assemble_active(data, w_pol, dtype)
-            da = da * (1.0 - banned.astype(dtype))
-            b = jnp.where(banned, 0.0, b)
+            # compacted drop rounds (round 2+ with drop_batch > 0)
+            # assemble the active-set estimate on the gathered sub-batch
+            # INSIDE the fire cond — the full-batch assembly is an HBM
+            # pass over A (~94 MB at B=8192) paid per step otherwise
+            # (cond operands are computed eagerly; XLA does not sink
+            # them into the branch)
+            compact2 = (
+                round_i > 0
+                and 0 < params.drop_batch < data.g.shape[0]
+            )
+            if not compact2:
+                da, b = _assemble_active(data, w_pol, dtype)
+                da = da * (1.0 - banned.astype(dtype))
+                b = jnp.where(banned, 0.0, b)
             if round_i == 0:
                 pol, sinv_last, pr_p, du_p, sv_p = _polish_batched_kernel(
                     data, best, params, H_polish, Hinv_polish, sinv_fn,
@@ -1442,6 +1453,13 @@ def solve_batched(
                             x=take2(w_pol.x), z=take2(w_pol.z),
                             y=take2(w_pol.y),
                         )
+                        # active-set estimate on the gathered rows only
+                        # (assembly commutes with the gather bitwise —
+                        # it is per-scenario elementwise)
+                        banned_c = take2(banned)
+                        da_c, b_c = _assemble_active(data_c, w_c, dtype)
+                        da_c = da_c * (1.0 - banned_c.astype(dtype))
+                        b_c = jnp.where(banned_c, 0.0, b_c)
                         if params.drop_warm_iters > 0:
                             # warm the compacted inverse from the carried
                             # round-1 rows: a drop changes the active set
@@ -1479,7 +1497,7 @@ def solve_batched(
                                 data_c, w_c, params,
                                 take_c(H_polish), take_c(Hinv_polish),
                                 sinv_fn_c,
-                                da_b=(take2(da), take2(b)),
+                                da_b=(da_c, b_c),
                             )
                         )
                         # top_k pads with unchanged rows when fewer than
@@ -1494,8 +1512,16 @@ def solve_batched(
                             y=best.y.at[idx2].set(pol_c.y),
                         )
                         # refresh the carried Schur inverse for the
-                        # re-solved scenarios (chain layout preserved)
-                        if s_minor:
+                        # re-solved scenarios (chain layout preserved).
+                        # drop_sinv_refresh=0 skips it: in the minor
+                        # layout this is a lane-axis gather + scatter
+                        # over the whole (m, m, B) carried tensor —
+                        # ~2 HBM passes over 160 MB at B=8192 on every
+                        # fired step — while the carried round-1 rows
+                        # are warm-gated and acceptance-guarded anyway
+                        if not params.drop_sinv_refresh:
+                            sinv_new = sinv_prev
+                        elif s_minor:
                             sinv_new = sinv_prev.at[..., idx2].set(
                                 jnp.where(
                                     sel[None, None, :],
@@ -1510,25 +1536,53 @@ def solve_batched(
                                     jnp.take(sinv_prev, idx2, axis=0),
                                 )
                             )
+                        # wrong-signed candidate multipliers (next
+                        # round's drops) on the sub-batch, scattered:
+                        # scenarios not re-solved produced no new
+                        # candidate this round, so they mark nothing
+                        eqr_c = take2(eq_rows)
+                        tol_c = take2(tol_drop)
+                        side_up_c = (b_c == data_c.u) & ~eqr_c
+                        wrong_c = sel[:, None] & (da_c > 0.5) & ~eqr_c \
+                            & jnp.where(
+                                side_up_c,
+                                pol_c.y < -tol_c, pol_c.y > tol_c,
+                            )
+                        banned_new = banned.at[idx2].set(
+                            banned_c | wrong_c
+                        )
+                        wrong_any_new = jnp.zeros(
+                            banned.shape[0], bool
+                        ).at[idx2].set(jnp.any(wrong_c, axis=-1))
                         return (pol_full, sinv_new,
                                 inf_r.at[idx2].set(pr_c),
                                 inf_r.at[idx2].set(du_c),
-                                inf_r.at[idx2].set(sv_c))
+                                inf_r.at[idx2].set(sv_c),
+                                banned_new, wrong_any_new)
 
-                    pol, sinv_last, pr_p, du_p, sv_p = jax.lax.cond(
-                        n_ch > 0, compact_round, skip_round
+                    def skip_round_c():
+                        return (best, sinv_prev, inf_r, inf_r, inf_r,
+                                banned,
+                                jnp.zeros(banned.shape[0], bool))
+
+                    (pol, sinv_last, pr_p, du_p, sv_p, banned,
+                     wrong_any_prev) = jax.lax.cond(
+                        n_ch > 0, compact_round, skip_round_c
                     )
                 else:
                     pol, sinv_last, pr_p, du_p, sv_p = jax.lax.cond(
                         n_ch > 0, full_round, skip_round
                     )
-            # wrong-signed candidate multipliers mark next round's drops
-            side_up = (b == data.u) & ~eq_rows
-            wrong = (da > 0.5) & ~eq_rows & jnp.where(
-                side_up, pol.y < -tol_drop, pol.y > tol_drop
-            )
-            banned = banned | wrong
-            wrong_any_prev = jnp.any(wrong, axis=-1)
+            if not compact2:
+                # wrong-signed candidate multipliers mark next round's
+                # drops (the compacted branch computes these on the
+                # gathered sub-batch inside the cond)
+                side_up = (b == data.u) & ~eq_rows
+                wrong = (da > 0.5) & ~eq_rows & jnp.where(
+                    side_up, pol.y < -tol_drop, pol.y > tol_drop
+                )
+                banned = banned | wrong
+                wrong_any_prev = jnp.any(wrong, axis=-1)
             w_pol = pol
             res_p = jnp.maximum(pr_p, du_p)
             res_p = jnp.where(jnp.isfinite(res_p), res_p, jnp.inf)

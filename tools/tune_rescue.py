@@ -112,11 +112,23 @@ def main():
             base, drop_fire_tol=1e-5, drop_warm_iters=8),
         "ft1e4_dw8": dataclasses.replace(
             base, drop_fire_tol=1e-4, drop_warm_iters=8),
+        # skip the drop round's carried-sinv refresh (the lane-axis
+        # gather + scatter over the (m, m, B) tensor)
+        "nosinv": dataclasses.replace(base, drop_sinv_refresh=0),
+        "nosinv_dw8": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=8),
+        "nosinv_dw8_ft1e4": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=8,
+            drop_fire_tol=1e-4),
     }
-    if len(sys.argv) > 2:  # optional config filter by name substring
+    if len(sys.argv) > 2:  # optional config filter (exact names when all
+        # requested entries are keys; substring match otherwise)
         keep = sys.argv[2].split(",")
-        configs = {n: c for n, c in configs.items()
-                   if any(s in n for s in keep)}
+        if all(s in configs for s in keep):
+            configs = {n: configs[n] for n in keep}
+        else:
+            configs = {n: c for n, c in configs.items()
+                       if any(s in n for s in keep)}
 
     carry0 = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
 
