@@ -293,8 +293,16 @@ class QPSolverParams:
                                   # per-step fixed overhead worth ~4.6% of
                                   # the evolving headline (VERDICT r4).
                                   # 0 = round-4 behavior (fire on any
-                                  # failure)
-    drop_warm_iters: int = 0      # NS iterations to warm the drop round's
+                                  # failure).  MEASURED NO-OP on the
+                                  # evolving replay (round 5, tune_rescue
+                                  # ft1e6/ft1e5/ft1e4 all ~= default): at
+                                  # B=8192 some scenario exceeds even
+                                  # 1e-4 every step, so the cond fires
+                                  # regardless — kept at 0; the round-5
+                                  # recovery instead cheapens the fired
+                                  # branch (in-cond assembly,
+                                  # drop_warm_iters, drop_sinv_refresh=0)
+    drop_warm_iters: int = 8      # NS iterations to warm the drop round's
                                   # compacted (k, m, m) Schur inverse from
                                   # the carried per-scenario `sinv` rows
                                   # instead of a full cold ns_iters start.
@@ -303,8 +311,12 @@ class QPSolverParams:
                                   # low-rank update, inside warm-NS range,
                                   # and ns_inverse's divergence guard
                                   # falls back to the Jacobi cold start.
-                                  # 0 = cold (round-4 behavior)
-    drop_sinv_refresh: int = 1    # 1 (round-4 behavior): scatter the drop
+                                  # 0 = cold (round-4 behavior).  Round-5
+                                  # on-chip A/B (tune_rescue, B=8192
+                                  # evolving): 8 warm iters +2.3k
+                                  # solves/s over cold at identical
+                                  # gates; 4 was not better than 8
+    drop_sinv_refresh: int = 0    # 1 (round-4 behavior): scatter the drop
                                   # round's freshly inverted (k, m, m)
                                   # Schur blocks back into the carried
                                   # per-scenario sinv rows.  In the
@@ -319,7 +331,22 @@ class QPSolverParams:
                                   # protected by the polish acceptance
                                   # residuals), so staleness costs at
                                   # most an extra drop-round fire next
-                                  # step
+                                  # step.  Round-5 default 0: measured
+                                  # identical gates (tune_rescue
+                                  # evolving/diverse, tune_sweep) and a
+                                  # small win with drop_warm_iters=8
+    drop_approx_rank: int = 0     # 1: rank the drop round's failed
+                                  # scenarios with jax.lax.approx_max_k
+                                  # (the TPU-optimized partial reduction)
+                                  # instead of a full top_k sort over the
+                                  # (B,) severity vector.  The cap is a
+                                  # heuristic (the staged rescue is the
+                                  # guarantee), so ~0.95 recall of the
+                                  # exact worst-k is semantically fine.
+                                  # Measured ~zero win at B=8192
+                                  # (tune_rescue nosinv_dw8_apx) — the
+                                  # ranking is not the fixed cost; kept
+                                  # available for larger batches
     rescue_round2_batch: int = 0  # compact the rescue's polish rounds >= 2
                                   # to the top-k scenarios still above
                                   # rescue_threshold after the previous

@@ -1442,7 +1442,14 @@ def solve_batched(
                         score = jnp.where(
                             changed_i, jnp.maximum(res_b, sv_b), -jnp.inf
                         )
-                        idx2 = jax.lax.top_k(score, k2)[1]
+                        if params.drop_approx_rank:
+                            # partial-reduction ranking (TPU-optimized;
+                            # ~0.95 recall of the exact worst-k) — the
+                            # cap is a heuristic, the staged rescue the
+                            # guarantee
+                            idx2 = jax.lax.approx_max_k(score, k2)[1]
+                        else:
+                            idx2 = jax.lax.top_k(score, k2)[1]
                         take2 = lambda a: jnp.take(a, idx2, axis=0)
                         take_c = lambda t: (
                             (take2(t[0]), take2(t[1]), t[2])

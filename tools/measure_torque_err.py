@@ -95,6 +95,17 @@ def replay_torques(dtype_str, traj_name):
         qp = dataclasses.replace(
             qp, drop_warm_iters=int(os.environ["TQ_DROP_WARM"])
         )
+    if os.environ.get("TQ_DROP_BATCH"):
+        # a cap below B=8 forces the COMPACT drop-round branch (gather /
+        # warm-or-cold Schur / scatter) on the parity replay, which the
+        # default cap never enters at this batch size
+        qp = dataclasses.replace(
+            qp, drop_batch=int(os.environ["TQ_DROP_BATCH"])
+        )
+    if os.environ.get("TQ_SINV_REFRESH"):
+        qp = dataclasses.replace(
+            qp, drop_sinv_refresh=int(os.environ["TQ_SINV_REFRESH"])
+        )
     traj = np.load(TRAJS[traj_name])
     B = 8
     obs_keys = ("base_R", "base_p", "base_vel", "q", "qd")

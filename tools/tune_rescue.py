@@ -120,6 +120,17 @@ def main():
         "nosinv_dw8_ft1e4": dataclasses.replace(
             base, drop_sinv_refresh=0, drop_warm_iters=8,
             drop_fire_tol=1e-4),
+        # cap scaling under the cheap branch (is the residual cost
+        # row-proportional NS/polish work?)
+        "nosinv_dw8_k32": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=8, drop_batch=32),
+        "nosinv_dw8_k16": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=8, drop_batch=16),
+        "nosinv_dw4_k32": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=4, drop_batch=32),
+        "nosinv_dw8_apx": dataclasses.replace(
+            base, drop_sinv_refresh=0, drop_warm_iters=8,
+            drop_approx_rank=1),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
