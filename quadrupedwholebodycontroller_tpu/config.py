@@ -301,21 +301,29 @@ class QPSolverParams:
                                   # regardless — kept at 0; the round-5
                                   # recovery instead cheapens the fired
                                   # branch (in-cond assembly,
-                                  # drop_warm_iters, drop_sinv_refresh=0)
-    drop_warm_iters: int = 8      # NS iterations to warm the drop round's
+                                  # drop_sinv_refresh=0)
+    drop_warm_iters: int = 0      # NS iterations to warm the drop round's
                                   # compacted (k, m, m) Schur inverse from
                                   # the carried per-scenario `sinv` rows
                                   # instead of a full cold ns_iters start.
-                                  # The carried inverse is round 1's set;
-                                  # a drop changes the Schur matrix by a
-                                  # low-rank update, inside warm-NS range,
-                                  # and ns_inverse's divergence guard
-                                  # falls back to the Jacobi cold start.
-                                  # 0 = cold (round-4 behavior).  Round-5
-                                  # on-chip A/B (tune_rescue, B=8192
-                                  # evolving): 8 warm iters +2.3k
-                                  # solves/s over cold at identical
-                                  # gates; 4 was not better than 8
+                                  # DEFAULT 0 (cold) — round 5 measured
+                                  # the warm start PARITY-UNSAFE and it
+                                  # must stay off: a drop changes the
+                                  # active set, and ||I - S_new W_old||
+                                  # routinely exceeds NS's convergence
+                                  # radius (1) while staying under the
+                                  # 1e3 divergence guard, so the 8-iter
+                                  # recursion blows up and the final
+                                  # safeguard hands back an UN-iterated
+                                  # Jacobi start -> garbage candidate ->
+                                  # rejected -> correction silently lost
+                                  # BELOW the KKT gates (forced-cap
+                                  # parity probe: 116/200 diverse steps
+                                  # over 1e-3 N*m with warm=8, 5/200
+                                  # cold, identical full-branch parity).
+                                  # The +2.3k solves/s it bought is not
+                                  # worth a sub-gate torque regression
+                                  # (PERF.md round-5 negative results)
     drop_sinv_refresh: int = 0    # 1 (round-4 behavior): scatter the drop
                                   # round's freshly inverted (k, m, m)
                                   # Schur blocks back into the carried
@@ -333,8 +341,9 @@ class QPSolverParams:
                                   # most an extra drop-round fire next
                                   # step.  Round-5 default 0: measured
                                   # identical gates (tune_rescue
-                                  # evolving/diverse, tune_sweep) and a
-                                  # small win with drop_warm_iters=8
+                                  # evolving/diverse, tune_sweep) AND
+                                  # bitwise-identical forced-cap parity
+                                  # probes vs refresh-on (cold branch)
     drop_approx_rank: int = 0     # 1: rank the drop round's failed
                                   # scenarios with jax.lax.approx_max_k
                                   # (the TPU-optimized partial reduction)

@@ -167,6 +167,25 @@ CONFIGS = {
         rescue_iterations=40, rescue_polish_rounds=2,
         rescue_round2_batch=32,
     ),
+    # second frontier probe wave: trim the rescue's round-1 width
+    # (rescue_batch) and the compacted round-2 width further
+    "rescue_1e3_100_r2c16": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=100,
+        rescue_polish_rounds=2, rescue_batch=128, rescue_round2_batch=16,
+    ),
+    "rescue_1e3_100_r2c32_rb96": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=100,
+        rescue_polish_rounds=2, rescue_batch=96, rescue_round2_batch=32,
+    ),
+    "rescue_1e3_100_r2c32_rb64": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=100,
+        rescue_polish_rounds=2, rescue_batch=64, rescue_round2_batch=32,
+    ),
+    "rescue_1e3_100_r2c32_s2": QPSolverParams(
+        rescue_threshold=1e-3, rescue_iterations=100,
+        rescue_polish_rounds=2, rescue_batch=128, rescue_round2_batch=32,
+        rescue_stages=2,
+    ),
 }
 
 BENCH_B = int(os.environ.get("TUNE_BENCH_B", "4096"))
