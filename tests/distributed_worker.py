@@ -27,45 +27,9 @@ jax.config.update("jax_enable_x64", True)
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def flagship_inputs(B=8):
-    """Deterministic flagship-step inputs (f32, the production dtype),
-    shared by the sharded worker and the parent's per-scenario B=1
-    reference so the cross-process comparison is bitwise-meaningful.
-    Mirrors tests/test_parallel.py test_sharded_flagship_matches_single_device."""
-    import jax
-    import jax.numpy as jnp
-
-    from quadrupedwholebodycontroller_tpu.config import (
-        ControllerParams,
-        QPSolverParams,
-    )
-    from quadrupedwholebodycontroller_tpu.control import wbc
-    from quadrupedwholebodycontroller_tpu.models import anymal_d_model
-    from quadrupedwholebodycontroller_tpu.models.anymal import (
-        INITIAL_JOINT_POS,
-    )
-    from quadrupedwholebodycontroller_tpu.ops import qp as qpm
-
-    dtype = jnp.float32
-    model = anymal_d_model(dtype=dtype)
-    cp = ControllerParams()
-    qp = QPSolverParams()
-    key = jax.random.PRNGKey(3)
-    k1, k2, k3 = jax.random.split(key, 3)
-    obs = wbc.RobotObservation(
-        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
-        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
-        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
-        base_vel=0.01 * jax.random.normal(k2, (B, 6), dtype),
-        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
-        qd=0.02 * jax.random.normal(k3, (B, 12), dtype),
-    )
-    ref = jax.tree.map(
-        lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
-    )
-    carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache = qpm.make_cache(B, 42, 70, qp, dtype)
-    return model, cp, qp, obs, ref, carry, cache
+from flagship_fixture import flagship_inputs  # noqa: E402  (shared with
+# test_parallel.py and test_distributed.py — one fixture, every mesh
+# realization compares the same program inputs)
 
 
 def main():

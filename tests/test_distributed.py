@@ -114,7 +114,7 @@ def test_two_process_sweep_matches_single_process():
     # steps — the same leaf-exactness test_parallel.py establishes on the
     # in-process virtual mesh, now across gloo.
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from distributed_worker import flagship_inputs
+    from flagship_fixture import flagship_inputs
 
     from quadrupedwholebodycontroller_tpu.control import wbc
 

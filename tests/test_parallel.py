@@ -109,36 +109,22 @@ def test_sharded_flagship_matches_single_device():
     under shard_map on the 8-device mesh is leaf-exact vs the unsharded
     step, over two cached steps (cold then warm).  VERDICT r3 #5: the
     program SCALING.json projects from is now exercised sharded."""
+    import os
+    import sys
+
     from quadrupedwholebodycontroller_tpu.control import wbc
-    from quadrupedwholebodycontroller_tpu.models.anymal import (
-        INITIAL_JOINT_POS,
-    )
-    from quadrupedwholebodycontroller_tpu.ops import qp as qpm
     from quadrupedwholebodycontroller_tpu.parallel import (
         sharded_wbc_step,
         shard_batch,
     )
 
-    dtype = jnp.float32
-    model = anymal_d_model(dtype=dtype)
-    cp = ControllerParams()
-    qp = QPSolverParams()
-    B = 8
-    key = jax.random.PRNGKey(3)
-    k1, k2, k3 = jax.random.split(key, 3)
-    obs = wbc.RobotObservation(
-        base_R=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (B, 3, 3)),
-        base_p=jnp.tile(jnp.array([0.0, 0.0, 0.55], dtype), (B, 1))
-        + 0.01 * jax.random.normal(k1, (B, 3), dtype),
-        base_vel=0.01 * jax.random.normal(k2, (B, 6), dtype),
-        q=jnp.tile(jnp.asarray(INITIAL_JOINT_POS, dtype), (B, 1)),
-        qd=0.02 * jax.random.normal(k3, (B, 12), dtype),
-    )
-    ref = jax.tree.map(
-        lambda x: jnp.stack([x] * B), wbc.Reference.standing(cp, dtype)
-    )
-    carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
-    cache = qpm.make_cache(B, 42, 70, qp, dtype)
+    # the SAME deterministic inputs the 2-process gloo test replays
+    # (tests/test_distributed.py) — one fixture, two mesh realizations
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from flagship_fixture import flagship_inputs
+
+    model, cp, qp, obs, ref, carry, cache = flagship_inputs()
+    B = obs.q.shape[0]
 
     # reference 1: the SAME local program — per-scenario B=1 steps (the
     # shard-local shape), stacked.  The sharded step must match this

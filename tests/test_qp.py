@@ -344,17 +344,31 @@ def test_drop_fire_tol_semantics(rng):
     )
 
 
-def test_drop_warm_iters_matches_cold(rng):
-    """Warming the compacted drop-round Schur inverse from the carried
-    round-1 rows (drop_warm_iters > 0) must reproduce the cold-inverse
-    drop round: same recovered solutions, sign-clean."""
+def test_drop_warm_iters_is_guarded_not_equivalent():
+    """drop_warm_iters > 0 is PARITY-UNSAFE and ships 0 (config.py,
+    PERF.md round-5): a drop changes the active set, and the warm NS
+    start can blow past its convergence radius while staying under the
+    1e3 divergence guard — the resulting garbage candidate is then
+    REJECTED by the sign-augmented acceptance, so the correction is
+    lost but the carried iterate is never displaced.  This test pins
+    exactly that contract: (a) the cold drop round fixes the poisoned
+    scenarios; (b) the warm variant, whatever it fixes or misses, is
+    per-scenario NEVER WORSE than skipping the drop round entirely
+    (acceptance monotonicity in the sign-augmented metric).
+
+    Fixed local seed (not the shared session rng): the warm variant's
+    fix-or-miss outcome is draw-dependent by design, and an
+    order-dependent draw made the old equivalence assertion flake."""
     import dataclasses
 
     dtype = jnp.float32
     B, n, m = 8, 8, 12
-    data, warm = _poisoned_batch(rng, B, n, m, dtype)
+    data, warm = _poisoned_batch(
+        np.random.default_rng(1234), B, n, m, dtype
+    )
     base = QPSolverParams(rescue_threshold=0.0, drop_batch=3)
     warmed = dataclasses.replace(base, drop_warm_iters=8)
+    round1 = dataclasses.replace(base, polish_rounds=1)
 
     def run(p):
         cache = qp.make_cache(B, n, m, p, dtype)
@@ -364,15 +378,18 @@ def test_drop_warm_iters_matches_cold(rng):
 
     st_c, inf_c, _ = run(base)
     st_w, inf_w, _ = run(warmed)
-    np.testing.assert_allclose(
-        np.asarray(st_w.x), np.asarray(st_c.x), atol=1e-5
+    st_1, inf_1, _ = run(round1)
+    # (a) cold drop round recovers the poisoned scenarios
+    sv_c = qp._sign_violation(data, st_c.x, st_c.y)
+    assert float(jnp.max(sv_c)) < 1e-4, float(jnp.max(sv_c))
+    # (b) warm variant is never worse than no drop round at all
+    aug_w = jnp.maximum(
+        inf_w.kkt_residual, qp._sign_violation(data, st_w.x, st_w.y)
     )
-    sv_w = qp._sign_violation(data, st_w.x, st_w.y)
-    assert float(jnp.max(sv_w)) < 1e-4, float(jnp.max(sv_w))
-    # quality parity: the warm round's certificates are as good
-    assert float(jnp.max(inf_w.kkt_residual)) <= (
-        float(jnp.max(inf_c.kkt_residual)) + 1e-5
+    aug_1 = jnp.maximum(
+        inf_1.kkt_residual, qp._sign_violation(data, st_1.x, st_1.y)
     )
+    assert bool(jnp.all(aug_w <= aug_1 + 1e-5)), (aug_w, aug_1)
 
 
 def test_rescue_round2_compact_holds_threshold(rng):

@@ -148,7 +148,7 @@ def replay_torques(dtype_str, traj_name):
         def batchify(o_t, r_t, new_t):
             return o_t, r_t, new_t  # already (B, ...) per step
 
-        record = lambda out: (out.tau[:4], out.grf[:4])
+        record = lambda out: (out.tau[:P], out.grf[:P])
     cache = qpm.make_cache(B, 42, 70, qp, dtype) if backend == "pallas" else None
     carry = jax.tree.map(lambda x: jnp.stack([x] * B), wbc.init_carry(dtype))
 
@@ -235,14 +235,18 @@ def report(traj_name):
         "kkt_max_f32": float(f32["kkt"].max()),
         "kkt_max_f64": float(ref["kkt"].max()),
     }
-    if err.ndim == 3:  # per-gait breakdown (walk/turn/trot/payload)
-        names = ["walk", "fast_turn", "trot", "payload_lowfric"]
+    if err.ndim == 3:  # per-gait breakdown
+        P = err.shape[1]
+        # the canonical 4-gait set (tools/make_diverse_traj.py); generic
+        # labels if the trajectory is regenerated with a different P
+        names = (["walk", "fast_turn", "trot", "payload_lowfric"]
+                 if P == 4 else [f"gait{g}" for g in range(P)])
         stats["per_gait_max"] = {
-            names[g]: float(err[:, g].max()) for g in range(err.shape[1])
+            names[g]: float(err[:, g].max()) for g in range(P)
         }
         stats["per_gait_p99"] = {
             names[g]: float(np.percentile(err[:, g], 99))
-            for g in range(err.shape[1])
+            for g in range(P)
         }
     print(json.dumps(stats))
     return stats
