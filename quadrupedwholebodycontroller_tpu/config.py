@@ -344,6 +344,22 @@ class QPSolverParams:
                                   # evolving/diverse, tune_sweep) AND
                                   # bitwise-identical forced-cap parity
                                   # probes vs refresh-on (cold branch)
+    drop_ns_iters: int = 0        # Newton-Schulz budget for the compacted
+                                  # drop round's cold Schur inverse; 0 =
+                                  # use ns_iters (30).  MEASURED
+                                  # PARITY-UNSAFE at 20 and 15 (round
+                                  # 5): +1.8k/+3.0k solves/s at
+                                  # identical KKT gates, but the
+                                  # forced-cap probes (TQ_DROP_BATCH=6
+                                  # TQ_DROP_NS) show 117/200 diverse
+                                  # steps over the 1e-3 N*m bar vs
+                                  # 5/200 at the full 30 — the short
+                                  # cold inverse leaves the corrected-
+                                  # set solve unconverged, acceptance
+                                  # rejects it, and the correction is
+                                  # silently lost below the gates
+                                  # (the same sub-gate failure shape as
+                                  # drop_warm_iters).  Keep 0.
     drop_approx_rank: int = 0     # 1: rank the drop round's failed
                                   # scenarios with jax.lax.approx_max_k
                                   # (the TPU-optimized partial reduction)

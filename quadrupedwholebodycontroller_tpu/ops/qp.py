@@ -1497,8 +1497,11 @@ def solve_batched(
                                 )
                         else:
                             def sinv_fn_c(S_thunk):
-                                return ns_inverse(S_thunk(),
-                                                  params.ns_iters)
+                                return ns_inverse(
+                                    S_thunk(),
+                                    params.drop_ns_iters
+                                    or params.ns_iters,
+                                )
                         pol_c, sinv_c, pr_c, du_c, sv_c = (
                             _polish_batched_kernel(
                                 data_c, w_c, params,

@@ -106,6 +106,10 @@ def replay_torques(dtype_str, traj_name):
         qp = dataclasses.replace(
             qp, drop_sinv_refresh=int(os.environ["TQ_SINV_REFRESH"])
         )
+    if os.environ.get("TQ_DROP_NS"):
+        qp = dataclasses.replace(
+            qp, drop_ns_iters=int(os.environ["TQ_DROP_NS"])
+        )
     traj = np.load(TRAJS[traj_name])
     B = 8
     obs_keys = ("base_R", "base_p", "base_vel", "q", "qd")

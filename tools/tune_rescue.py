@@ -131,6 +131,9 @@ def main():
         "nosinv_dw8_apx": dataclasses.replace(
             base, drop_sinv_refresh=0, drop_warm_iters=8,
             drop_approx_rank=1),
+        # shorter cold NS for the drop round (probe-gated before any flip)
+        "dni20": dataclasses.replace(base, drop_ns_iters=20),
+        "dni15": dataclasses.replace(base, drop_ns_iters=15),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
