@@ -360,6 +360,20 @@ class QPSolverParams:
                                   # silently lost below the gates
                                   # (the same sub-gate failure shape as
                                   # drop_warm_iters).  Keep 0.
+    cond_hoist: int = 1           # 1: route only the SMALL gathered
+                                  # (k, m, m) sub-blocks through the
+                                  # cold-fix / drop-round lax.conds and
+                                  # scatter outside them, instead of
+                                  # making the full carried (m, m, B)
+                                  # inverse (~165 MB at B=8192) a cond
+                                  # OUTPUT in every branch (the identity/
+                                  # pass-through branches then cost a
+                                  # full HBM copy of the tensor whenever
+                                  # XLA cannot alias the conditional's
+                                  # result buffer).  Bitwise-identical
+                                  # values on every path — only the
+                                  # buffer routing changes.  0 restores
+                                  # the round-4/5 cond structure for A/B.
     drop_approx_rank: int = 0     # 1: rank the drop round's failed
                                   # scenarios with jax.lax.approx_max_k
                                   # (the TPU-optimized partial reduction)

@@ -1018,13 +1018,35 @@ def solve_batched(
                 def full_cold(_):
                     return ns_inverse(M, params.ns_iters)
 
-                def mixed(_):
-                    return jax.lax.cond(
-                        n_cold > 0,
-                        lambda X: _compact_cold_fix(X, M, keep_warm=True),
-                        lambda X: X,
-                        warm_update(M),
-                    )
+                if params.cond_hoist:
+                    # see sinv_fn: only the (k, n, n) cold sub-block rides
+                    # the fix cond; the full warm-updated inverse is
+                    # scattered into outside it (bitwise-identical values)
+                    def mixed(_):
+                        X = warm_update(M)
+                        keep = jnp.take(X, cold_idx, axis=0)
+
+                        def fix(_):
+                            Mc = (
+                                M(cold_idx) if callable(M)
+                                else jnp.take(M, cold_idx, axis=0)
+                            )
+                            Xc = ns_inverse(Mc, params.ns_iters)
+                            sel = jnp.take(warm_mask, cold_idx)
+                            return jnp.where(sel[:, None, None], keep, Xc)
+
+                        Xc = jax.lax.cond(
+                            n_cold > 0, fix, lambda _: keep, None
+                        )
+                        return X.at[cold_idx].set(Xc)
+                else:
+                    def mixed(_):
+                        return jax.lax.cond(
+                            n_cold > 0,
+                            lambda X: _compact_cold_fix(X, M, keep_warm=True),
+                            lambda X: X,
+                            warm_update(M),
+                        )
 
                 return jax.lax.cond(n_cold > kcold, full_cold, mixed, None)
 
@@ -1080,13 +1102,34 @@ def solve_batched(
                 def full_cold(_):
                     return ns_inverse_bm(M, params.ns_iters)
 
-                def mixed(_):
-                    return jax.lax.cond(
-                        n_cold > 0,
-                        lambda X: _compact_cold_fix_bm(X, M, keep_warm=True),
-                        lambda X: X,
-                        warm_update(M),
-                    )
+                if params.cond_hoist:
+                    # see sinv_fn: only the (n, n, k) cold sub-block rides
+                    # the fix cond; the full warm-updated inverse is
+                    # scattered into outside it (bitwise-identical values)
+                    def mixed(_):
+                        X = warm_update(M)
+                        keep = jnp.take(X, cold_idx, axis=-1)
+
+                        def fix(_):
+                            Mc = jnp.take(M, cold_idx, axis=-1)
+                            Xc = ns_inverse_bm(Mc, params.ns_iters)
+                            sel = jnp.take(warm_mask, cold_idx)
+                            return jnp.where(sel[None, None, :], keep, Xc)
+
+                        Xc = jax.lax.cond(
+                            n_cold > 0, fix, lambda _: keep, None
+                        )
+                        return X.at[..., cold_idx].set(Xc)
+                else:
+                    def mixed(_):
+                        return jax.lax.cond(
+                            n_cold > 0,
+                            lambda X: _compact_cold_fix_bm(
+                                X, M, keep_warm=True
+                            ),
+                            lambda X: X,
+                            warm_update(M),
+                        )
 
                 return jax.lax.cond(n_cold > kcold, full_cold, mixed, None)
 
@@ -1242,13 +1285,41 @@ def solve_batched(
             def full_cold(_):
                 return _to_s_chain(ns_inverse(S_thunk(), params.ns_iters))
 
-            def mixed(_):
-                return jax.lax.cond(
-                    n_cold > 0,
-                    lambda X: _compact_cold_fix_s(X, S_thunk),
-                    lambda X: X,
-                    sinv_chain_in,
-                )
+            if params.cond_hoist:
+                # route only the gathered (k, m, m) cold sub-block through
+                # the fix cond and scatter OUTSIDE it: the carried
+                # (m, m, B) inverse never becomes a cond output, so the
+                # no-cold-scenario branch costs a (k, m, m) gather, not a
+                # potential full-tensor HBM copy.  Bitwise-identical to
+                # _compact_cold_fix_s on both paths (the identity path
+                # scatters the rows' own values back).
+                def mixed(_):
+                    keep = (
+                        jnp.take(sinv_chain_in, cold_idx, axis=-1)
+                        if s_minor
+                        else jnp.take(sinv_chain_in, cold_idx, axis=0)
+                    )
+
+                    def fix(_):
+                        Xc = ns_inverse(S_thunk(cold_idx), params.ns_iters)
+                        sel = jnp.take(warm_mask, cold_idx)
+                        if s_minor:
+                            Xc = jnp.transpose(Xc, (1, 2, 0))
+                            return jnp.where(sel[None, None, :], keep, Xc)
+                        return jnp.where(sel[:, None, None], keep, Xc)
+
+                    Xc = jax.lax.cond(n_cold > 0, fix, lambda _: keep, None)
+                    if s_minor:
+                        return sinv_chain_in.at[..., cold_idx].set(Xc)
+                    return sinv_chain_in.at[cold_idx].set(Xc)
+            else:
+                def mixed(_):
+                    return jax.lax.cond(
+                        n_cold > 0,
+                        lambda X: _compact_cold_fix_s(X, S_thunk),
+                        lambda X: X,
+                        sinv_chain_in,
+                    )
 
             return jax.lax.cond(n_cold > kcold, full_cold, mixed, None)
     elif wi_polish == 0 and cache is not None and use_warm is not None:
@@ -1564,21 +1635,40 @@ def solve_batched(
                         wrong_any_new = jnp.zeros(
                             banned.shape[0], bool
                         ).at[idx2].set(jnp.any(wrong_c, axis=-1))
-                        return (pol_full, sinv_new,
-                                inf_r.at[idx2].set(pr_c),
-                                inf_r.at[idx2].set(du_c),
-                                inf_r.at[idx2].set(sv_c),
-                                banned_new, wrong_any_new)
+                        out = (pol_full,
+                               inf_r.at[idx2].set(pr_c),
+                               inf_r.at[idx2].set(du_c),
+                               inf_r.at[idx2].set(sv_c),
+                               banned_new, wrong_any_new)
+                        # cond_hoist: with the refresh off, sinv_new IS
+                        # sinv_prev in both branches — keep the (m, m, B)
+                        # carried inverse out of the cond's outputs so the
+                        # skip branch never implies an HBM copy of it
+                        if hoist_sinv:
+                            return out
+                        return out[:1] + (sinv_new,) + out[1:]
 
                     def skip_round_c():
-                        return (best, sinv_prev, inf_r, inf_r, inf_r,
-                                banned,
-                                jnp.zeros(banned.shape[0], bool))
+                        out = (best, inf_r, inf_r, inf_r, banned,
+                               jnp.zeros(banned.shape[0], bool))
+                        if hoist_sinv:
+                            return out
+                        return out[:1] + (sinv_prev,) + out[1:]
 
-                    (pol, sinv_last, pr_p, du_p, sv_p, banned,
-                     wrong_any_prev) = jax.lax.cond(
+                    hoist_sinv = (
+                        bool(params.cond_hoist)
+                        and not params.drop_sinv_refresh
+                    )
+                    outs = jax.lax.cond(
                         n_ch > 0, compact_round, skip_round_c
                     )
+                    if hoist_sinv:
+                        (pol, pr_p, du_p, sv_p, banned,
+                         wrong_any_prev) = outs
+                        sinv_last = sinv_prev
+                    else:
+                        (pol, sinv_last, pr_p, du_p, sv_p, banned,
+                         wrong_any_prev) = outs
                 else:
                     pol, sinv_last, pr_p, du_p, sv_p = jax.lax.cond(
                         n_ch > 0, full_round, skip_round

@@ -344,6 +344,37 @@ def test_drop_fire_tol_semantics(rng):
     )
 
 
+def test_cond_hoist_bitwise(rng):
+    """cond_hoist=1 (default) reroutes the carried (m, m, B)/(n, n, B)
+    inverses OUT of the cold-fix / drop-round lax.cond outputs (only the
+    gathered sub-blocks ride the conds; scatters happen outside).  It is
+    a pure buffer-routing change: every output — states, infos, and the
+    carried cache — must be BITWISE identical to the round-4/5 cond
+    structure (cond_hoist=0) across a cold step AND a mixed per-scenario
+    warm/cold step that fires both the compact cold fixes and the
+    compacted drop round."""
+    import dataclasses
+
+    dtype = jnp.float32
+    B, n, m = 8, 8, 12
+    data, warm = _poisoned_batch(rng, B, n, m, dtype)
+    base = QPSolverParams(rescue_threshold=0.0, drop_batch=3, cold_batch=3)
+    uw = jnp.array([True, True, False, True, True, False, True, True])
+    outs = {}
+    for ch in (0, 1):
+        p = dataclasses.replace(base, cond_hoist=ch)
+        cache = qp.make_cache(B, n, m, p, dtype)
+        st1, inf1, cache = qp.solve_batched(
+            data, warm, p, backend="pallas", cache=cache, use_warm=False
+        )
+        st2, inf2, cache2 = qp.solve_batched(
+            data, st1, p, backend="pallas", cache=cache, use_warm=uw
+        )
+        outs[ch] = (st1, inf1, st2, inf2, cache2)
+    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_drop_warm_iters_is_guarded_not_equivalent():
     """drop_warm_iters > 0 is PARITY-UNSAFE and ships 0 (config.py,
     PERF.md round-5): a drop changes the active set, and the warm NS

@@ -134,6 +134,16 @@ def main():
         # shorter cold NS for the drop round (probe-gated before any flip)
         "dni20": dataclasses.replace(base, drop_ns_iters=20),
         "dni15": dataclasses.replace(base, drop_ns_iters=15),
+        # round-5b cond routing (cond_hoist): keep the carried (m, m, B)
+        # / (n, n, B) inverses OUT of the cold-fix / drop-round cond
+        # outputs (bitwise-identical values; buffer routing only).
+        # Explicitly pinned both ways — `base` ships cond_hoist=1.
+        "hoist0": dataclasses.replace(base, cond_hoist=0),
+        "hoist1": dataclasses.replace(base, cond_hoist=1),
+        "hoist0_dropoff": dataclasses.replace(
+            base, cond_hoist=0, polish_rounds=1),
+        "hoist1_dropoff": dataclasses.replace(
+            base, cond_hoist=1, polish_rounds=1),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
