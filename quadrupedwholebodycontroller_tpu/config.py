@@ -360,20 +360,41 @@ class QPSolverParams:
                                   # silently lost below the gates
                                   # (the same sub-gate failure shape as
                                   # drop_warm_iters).  Keep 0.
-    cond_hoist: int = 1           # 1: route only the SMALL gathered
+    ns_cold_prec: str = ""        # matmul precision for the BODY
+                                  # iterations of the PER-STEP cold
+                                  # sub-batch NS chains (the cold-fix
+                                  # (k, n, n) inverses, the drop round's
+                                  # compacted Schur inverse, the rescue's
+                                  # cold K^-1 / Schur): e.g. "bfloat16"
+                                  # (1 MXU pass) or "bfloat16_3x" vs the
+                                  # ambient "highest" (6 passes).  The
+                                  # last ns_cold_tail iterations always
+                                  # run at full precision, so the final
+                                  # iterate converges to the same f32
+                                  # plateau (measured: tools/
+                                  # exp_ns_mixed.py).  "" = all-highest
+                                  # (round-5 behavior).  Any flip must
+                                  # hold the forced-cap torque-parity
+                                  # probes (the drop_ns_iters lesson).
+    ns_cold_tail: int = 6         # full-precision tail iterations when
+                                  # ns_cold_prec is set
+    cond_hoist: int = 0           # cond buffer-routing experiments
+                                  # (bitwise-identical values on every
+                                  # path).  1: route only the gathered
                                   # (k, m, m) sub-blocks through the
-                                  # cold-fix / drop-round lax.conds and
-                                  # scatter outside them, instead of
-                                  # making the full carried (m, m, B)
-                                  # inverse (~165 MB at B=8192) a cond
-                                  # OUTPUT in every branch (the identity/
-                                  # pass-through branches then cost a
-                                  # full HBM copy of the tensor whenever
-                                  # XLA cannot alias the conditional's
-                                  # result buffer).  Bitwise-identical
-                                  # values on every path — only the
-                                  # buffer routing changes.  0 restores
-                                  # the round-4/5 cond structure for A/B.
+                                  # cold-fix conds and scatter OUTSIDE
+                                  # them — measured 6% SLOWER at B=8192
+                                  # (337.5k vs 360.3k, tune_rescue
+                                  # hoist1/hoist0): XLA aliases cond
+                                  # pass-through outputs fine, while the
+                                  # hoisted lane-axis scatter into the
+                                  # carried (m, m, B) tensor materializes
+                                  # the full-tensor copy the in-branch
+                                  # scatter avoided.  2: hoist ONLY the
+                                  # drop-round's carried sinv out of its
+                                  # cond outputs (no scatter involved
+                                  # when drop_sinv_refresh=0).  Default
+                                  # 0 = the round-4/5 structure.
     drop_approx_rank: int = 0     # 1: rank the drop round's failed
                                   # scenarios with jax.lax.approx_max_k
                                   # (the TPU-optimized partial reduction)

@@ -60,7 +60,8 @@ def _cold_init(A):
 
 
 @full_precision
-def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12):
+def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12,
+               body_prec: str | None = None, tail: int = 6):
     """Inverse of a batched SPD matrix (..., n, n) by Newton-Schulz.
 
     With `warm` (an approximate inverse from a nearby problem — the carried
@@ -70,7 +71,16 @@ def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12):
     (non-finite or wildly divergent warm starts, ||I - A W||_inf >= 1e3)
     fall back to the cold start — an f32 plateau on an ill-conditioned
     matrix can legitimately show ||I - A W||_inf of a few, and NS still
-    contracts in the dominant subspace."""
+    contracts in the dominant subspace.
+
+    body_prec (cold starts only): run the first `iters - tail` iterations
+    under this matmul precision (e.g. "bfloat16" = 1 MXU pass instead of
+    the ambient "highest" 6) and only the last `tail` at full precision.
+    The early iterations only need to CONTRACT (error ~1 -> the bf16
+    floor ~1e-2); the full-precision tail then converges quadratically to
+    the same f32 plateau.  The per-step cold sub-batch chains are
+    serialized latency on the hot path, so cheaper body passes shorten
+    the program's critical path."""
     n = A.shape[-1]
     eye2 = 2.0 * jnp.eye(n, dtype=A.dtype)
     X = _cold_init(A)
@@ -84,6 +94,11 @@ def ns_inverse(A, iters: int = 30, warm=None, warm_iters: int = 12):
     def body(_, X):
         return X @ (eye2 - A @ X)
 
+    if warm is None and body_prec:
+        nb = max(iters - max(tail, 0), 0)
+        with jax.default_matmul_precision(body_prec):
+            X = jax.lax.fori_loop(0, nb, body, X, unroll=True)
+        iters = iters - nb
     X = jax.lax.fori_loop(0, iters, body, X, unroll=True)
     if warm is not None:
         # never let a blown-up iterate poison the carried cache
@@ -157,14 +172,22 @@ def _cold_init_bm(A):
 
 
 @full_precision
-def ns_inverse_bm(A, iters: int = 30):
-    """ns_inverse on batch-minor (n, n, B) arrays (cold start only)."""
+def ns_inverse_bm(A, iters: int = 30, body_prec: str | None = None,
+                  tail: int = 6):
+    """ns_inverse on batch-minor (n, n, B) arrays (cold start only).
+
+    body_prec/tail: reduced-precision body iterations, see ns_inverse."""
     eye2 = 2.0 * _bm_eye(A.shape[0], A.dtype)
     X = _cold_init_bm(A)
 
     def body(_, X):
         return _bm_mm(X, eye2 - _bm_mm(A, X))
 
+    if body_prec:
+        nb = max(iters - max(tail, 0), 0)
+        with jax.default_matmul_precision(body_prec):
+            X = jax.lax.fori_loop(0, nb, body, X, unroll=True)
+        iters = iters - nb
     return jax.lax.fori_loop(0, iters, body, X, unroll=True)
 
 

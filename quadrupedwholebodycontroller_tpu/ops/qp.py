@@ -983,7 +983,7 @@ def solve_batched(
             if callable(M_or_thunk)
             else jnp.take(M_or_thunk, cold_idx, axis=0)
         )
-        Xc = ns_inverse(Mc, params.ns_iters)
+        Xc = ns_inverse(Mc, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
         if keep_warm:
             # top_k returns exactly kcold indices: when fewer scenarios
             # are cold the extras are warm ones — keep their rows
@@ -1018,7 +1018,7 @@ def solve_batched(
                 def full_cold(_):
                     return ns_inverse(M, params.ns_iters)
 
-                if params.cond_hoist:
+                if params.cond_hoist == 1:
                     # see sinv_fn: only the (k, n, n) cold sub-block rides
                     # the fix cond; the full warm-updated inverse is
                     # scattered into outside it (bitwise-identical values)
@@ -1031,7 +1031,9 @@ def solve_batched(
                                 M(cold_idx) if callable(M)
                                 else jnp.take(M, cold_idx, axis=0)
                             )
-                            Xc = ns_inverse(Mc, params.ns_iters)
+                            Xc = ns_inverse(
+                                Mc, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail,
+                            )
                             sel = jnp.take(warm_mask, cold_idx)
                             return jnp.where(sel[:, None, None], keep, Xc)
 
@@ -1090,7 +1092,7 @@ def solve_batched(
 
         def _compact_cold_fix_bm(X, M, keep_warm):
             Mc = jnp.take(M, cold_idx, axis=-1)
-            Xc = ns_inverse_bm(Mc, params.ns_iters)
+            Xc = ns_inverse_bm(Mc, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
             if keep_warm:
                 sel = jnp.take(warm_mask, cold_idx)
                 Xc = jnp.where(sel[None, None, :],
@@ -1102,7 +1104,7 @@ def solve_batched(
                 def full_cold(_):
                     return ns_inverse_bm(M, params.ns_iters)
 
-                if params.cond_hoist:
+                if params.cond_hoist == 1:
                     # see sinv_fn: only the (n, n, k) cold sub-block rides
                     # the fix cond; the full warm-updated inverse is
                     # scattered into outside it (bitwise-identical values)
@@ -1112,7 +1114,9 @@ def solve_batched(
 
                         def fix(_):
                             Mc = jnp.take(M, cold_idx, axis=-1)
-                            Xc = ns_inverse_bm(Mc, params.ns_iters)
+                            Xc = ns_inverse_bm(
+                                Mc, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail,
+                            )
                             sel = jnp.take(warm_mask, cold_idx)
                             return jnp.where(sel[None, None, :], keep, Xc)
 
@@ -1261,7 +1265,7 @@ def solve_batched(
         """_compact_cold_fix for the polish Schur inverse, in the chain's
         layout: the (k, m, m) cold sub-batch NS inverse is computed
         batch-major either way and scattered into X's layout."""
-        Xc = ns_inverse(S_thunk(cold_idx), params.ns_iters)
+        Xc = ns_inverse(S_thunk(cold_idx), params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
         sel = jnp.take(warm_mask, cold_idx)
         if s_minor:
             Xc = jnp.transpose(Xc, (1, 2, 0))
@@ -1285,7 +1289,7 @@ def solve_batched(
             def full_cold(_):
                 return _to_s_chain(ns_inverse(S_thunk(), params.ns_iters))
 
-            if params.cond_hoist:
+            if params.cond_hoist == 1:
                 # route only the gathered (k, m, m) cold sub-block through
                 # the fix cond and scatter OUTSIDE it: the carried
                 # (m, m, B) inverse never becomes a cond output, so the
@@ -1301,7 +1305,9 @@ def solve_batched(
                     )
 
                     def fix(_):
-                        Xc = ns_inverse(S_thunk(cold_idx), params.ns_iters)
+                        Xc = ns_inverse(
+                            S_thunk(cold_idx), params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail,
+                        )
                         sel = jnp.take(warm_mask, cold_idx)
                         if s_minor:
                             Xc = jnp.transpose(Xc, (1, 2, 0))
@@ -1572,6 +1578,8 @@ def solve_batched(
                                     S_thunk(),
                                     params.drop_ns_iters
                                     or params.ns_iters,
+                                    body_prec=params.ns_cold_prec or None,
+                                    tail=params.ns_cold_tail,
                                 )
                         pol_c, sinv_c, pr_c, du_c, sv_c = (
                             _polish_batched_kernel(
@@ -1656,7 +1664,7 @@ def solve_batched(
                         return out[:1] + (sinv_prev,) + out[1:]
 
                     hoist_sinv = (
-                        bool(params.cond_hoist)
+                        params.cond_hoist in (1, 2)
                         and not params.drop_sinv_refresh
                     )
                     outs = jax.lax.cond(
@@ -1772,7 +1780,7 @@ def solve_batched(
             # because the carried warm K^-1 went stale (tune_sweep exposed
             # this: reusing the warm inverse left the extreme tail at
             # 1.7e-2 where the cold one reaches ~3e-3)
-            Kinv_cold = ns_inverse(K_, params.ns_iters)
+            Kinv_cold = ns_inverse(K_, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
             if params.sigma == 0.0:
                 x, z, y, pr_c, du_c, sv_c = qp_kernel.admm_zy_iterations_res(
                     Kinv_cold, sA_, sg_, sl_, su_, rho_,
@@ -1798,7 +1806,7 @@ def solve_batched(
             )
             if params.polish:
                 def sinv_cold(S_thunk):
-                    return ns_inverse(S_thunk(), params.ns_iters)
+                    return ns_inverse(S_thunk(), params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
 
                 # iterated polish WITH THE ACTIVE-SET DROP RULE: a stale
                 # warm-start dual can activate a row that sits well off its

@@ -361,7 +361,7 @@ def test_cond_hoist_bitwise(rng):
     base = QPSolverParams(rescue_threshold=0.0, drop_batch=3, cold_batch=3)
     uw = jnp.array([True, True, False, True, True, False, True, True])
     outs = {}
-    for ch in (0, 1):
+    for ch in (0, 1, 2):
         p = dataclasses.replace(base, cond_hoist=ch)
         cache = qp.make_cache(B, n, m, p, dtype)
         st1, inf1, cache = qp.solve_batched(
@@ -371,8 +371,9 @@ def test_cond_hoist_bitwise(rng):
             data, st1, p, backend="pallas", cache=cache, use_warm=uw
         )
         outs[ch] = (st1, inf1, st2, inf2, cache2)
-    for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for ch in (1, 2):
+        for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[ch])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_drop_warm_iters_is_guarded_not_equivalent():

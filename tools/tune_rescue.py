@@ -137,13 +137,24 @@ def main():
         # round-5b cond routing (cond_hoist): keep the carried (m, m, B)
         # / (n, n, B) inverses OUT of the cold-fix / drop-round cond
         # outputs (bitwise-identical values; buffer routing only).
-        # Explicitly pinned both ways — `base` ships cond_hoist=1.
+        # Explicitly pinned both ways (`base` ships cond_hoist=0).
         "hoist0": dataclasses.replace(base, cond_hoist=0),
         "hoist1": dataclasses.replace(base, cond_hoist=1),
         "hoist0_dropoff": dataclasses.replace(
             base, cond_hoist=0, polish_rounds=1),
         "hoist1_dropoff": dataclasses.replace(
             base, cond_hoist=1, polish_rounds=1),
+        # hoist1 measured 337.5k vs hoist0 360.3k (NEGATIVE — the
+        # hoisted scatter materializes the copy); hoist2 hoists only the
+        # drop round's sinv (no scatter), measured separately
+        "hoist2": dataclasses.replace(base, cond_hoist=2),
+        # mixed-precision cold NS chains (ns_cold_prec body, full tail)
+        "nsbf16": dataclasses.replace(base, ns_cold_prec="bfloat16"),
+        "nsbf16x3": dataclasses.replace(base, ns_cold_prec="high"),
+        "nsbf16_t8": dataclasses.replace(
+            base, ns_cold_prec="bfloat16", ns_cold_tail=8),
+        "nsbf16_hoist2": dataclasses.replace(
+            base, ns_cold_prec="bfloat16", cond_hoist=2),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
