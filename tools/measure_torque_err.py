@@ -110,6 +110,23 @@ def replay_torques(dtype_str, traj_name):
         qp = dataclasses.replace(
             qp, drop_ns_iters=int(os.environ["TQ_DROP_NS"])
         )
+    if os.environ.get("TQ_COLD_BATCH"):
+        # a cap below B=8 forces the per-scenario warm-mask path (the
+        # compacted cold fixes), which the default cold_batch=512 >= B
+        # collapses to the scalar gate on the parity replay
+        qp = dataclasses.replace(
+            qp, cold_batch=int(os.environ["TQ_COLD_BATCH"])
+        )
+    if os.environ.get("TQ_NS_COLD_PREC"):
+        # mixed-precision cold-NS body probe ("off" = explicit default)
+        v = os.environ["TQ_NS_COLD_PREC"]
+        qp = dataclasses.replace(
+            qp, ns_cold_prec="" if v == "off" else v
+        )
+    if os.environ.get("TQ_NS_COLD_TAIL"):
+        qp = dataclasses.replace(
+            qp, ns_cold_tail=int(os.environ["TQ_NS_COLD_TAIL"])
+        )
     traj = np.load(TRAJS[traj_name])
     B = 8
     obs_keys = ("base_R", "base_p", "base_vel", "q", "qd")
@@ -185,14 +202,16 @@ def replay_torques(dtype_str, traj_name):
             np.asarray(kkts, np.float64))
 
 
-def _artifact_path(stage, traj_name):
+def _artifact_path(stage, traj_name, tag=""):
     suffix = "" if traj_name == "walk" else f"_{traj_name}"
-    return os.path.join(ROOT, "data", f"torque_{stage}{suffix}.npz")
+    return os.path.join(ROOT, "data", f"torque_{stage}{suffix}{tag}.npz")
 
 
-def report(traj_name):
+def report(traj_name, tag=""):
+    # TQ_TAG probe runs compare their tagged f32 replay against the
+    # CANONICAL committed f64 reference (the reference is config-free)
     ref = np.load(_artifact_path("cpu64", traj_name))
-    f32 = np.load(_artifact_path("run", traj_name))
+    f32 = np.load(_artifact_path("run", traj_name, tag))
     traj = np.load(TRAJS[traj_name])
     err = np.abs(f32["tau"] - ref["tau"])  # (T, 12) or (T, 4, 12)
     step_err = err.reshape(err.shape[0], -1).max(axis=1)
@@ -262,8 +281,9 @@ def main():
                     required=True)
     ap.add_argument("--traj", choices=["walk", "diverse"], default="walk")
     args = ap.parse_args()
+    tag = os.environ.get("TQ_TAG", "")
     if args.stage == "report":
-        report(args.traj)
+        report(args.traj, tag)
         return
     import jax
 
@@ -274,7 +294,8 @@ def main():
         )
         jax.config.update("jax_enable_x64", True)
     tau, grf, kkt = replay_torques(dtype, args.traj)
-    out = _artifact_path(args.stage, args.traj)
+    out = _artifact_path(args.stage, args.traj,
+                         "" if args.stage == "cpu64" else tag)
     np.savez(out, tau=tau, grf=grf, kkt=kkt,
              backend=jax.default_backend())
     print(json.dumps({"stage": args.stage, "saved": out,

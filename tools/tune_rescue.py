@@ -155,6 +155,13 @@ def main():
             base, ns_cold_prec="bfloat16", ns_cold_tail=8),
         "nsbf16_hoist2": dataclasses.replace(
             base, ns_cold_prec="bfloat16", cond_hoist=2),
+        # GLOBAL hot-path matmul precision (ops/linalg._MATMUL_PRECISION,
+        # normally QWBC_MATMUL_PRECISION): "high" = 3-pass bf16 for every
+        # full_precision site (warm NS updates, K build, Schur assembly,
+        # refinement) — in-process via monkeypatch, see the run loop
+        "gprec_high": base,
+        "gprec_high_nscold": dataclasses.replace(
+            base, ns_cold_prec="high"),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
@@ -169,7 +176,15 @@ def main():
 
     mk = make_diverse_step if MODE == "diverse" else make_evolving_step
     results = {}
+    from quadrupedwholebodycontroller_tpu.ops import linalg as _linalg
+    _prec0 = _linalg._MATMUL_PRECISION
     for name, qp in configs.items():
+        # gprec_* configs flip the GLOBAL full_precision level for this
+        # config only (fresh closure per config -> fresh trace, so the
+        # flip takes effect despite not being a params field)
+        _linalg._MATMUL_PRECISION = (
+            name.split("_")[1] if name.startswith("gprec_") else _prec0
+        )
         cache0 = (qpm.make_cache(B, 42, 70, qp, dtype)
                   if backend == "pallas" else None)
         multi_step, scan_len = mk(model, cp, qp, B, backend, dtype)
