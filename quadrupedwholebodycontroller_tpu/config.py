@@ -164,15 +164,27 @@ class QPSolverParams:
     # (typical) steps where every scenario is already below threshold.
     rescue_threshold: float = 3e-3  # <= 0 disables
     rescue_iterations: int = 40   # round-4 re-tune: with the polish drop
-    rescue_polish_rounds: int = 1  # rounds fixing active sets BEFORE the
+    rescue_polish_rounds: int = 2  # rounds fixing active sets BEFORE the
                                   # rescue, the heavy round-3 budget
-                                  # (100 it / 2 cold polish rounds) is
-                                  # wasted work — the lean 40/1 budget at
-                                  # rescue_batch=128 holds the extreme-
-                                  # sweep tail at 2.85e-3 AND is faster
-                                  # than the heavy budget on the sweep
-                                  # (54.6k vs 53.8k steps/s) and equal on
-                                  # the standing bench.  The measured 1e-3
+                                  # (100 it / 2 UNCOMPACTED cold polish
+                                  # rounds) is wasted work — the lean 40-
+                                  # iteration budget at rescue_batch=128
+                                  # holds the extreme-sweep tail at
+                                  # 2.85e-3 AND is faster than the heavy
+                                  # budget on the sweep (54.6k vs 53.8k
+                                  # steps/s) and equal on the standing
+                                  # bench.  Round 5b: rounds >= 2 are
+                                  # COMPACTED (rescue_round2_batch=32
+                                  # default) and ~free at the 3e-3
+                                  # threshold — shipped because the
+                                  # ns_cold_prec win left one diverse
+                                  # scenario PLATEAUED at 3.10e-3 under
+                                  # the 1-round rescue (stage re-fires
+                                  # stop on no-improvement; the second
+                                  # cold polish round is the mechanism
+                                  # that moves plateaued scenarios) —
+                                  # diverse flagged_max back to 0 at
+                                  # 329.6k vs 328.7k.  The measured 1e-3
                                   # frontier: 60/1 reaches 1.29e-3 at
                                   # 10.5% sweep cost; only 100/2 reaches
                                   # 9.99e-4, at 19% (tools/tune_qp.py
@@ -360,24 +372,34 @@ class QPSolverParams:
                                   # silently lost below the gates
                                   # (the same sub-gate failure shape as
                                   # drop_warm_iters).  Keep 0.
-    ns_cold_prec: str = ""        # matmul precision for the BODY
+    ns_cold_prec: str = "high"    # matmul precision for the BODY
                                   # iterations of the PER-STEP cold
                                   # sub-batch NS chains (the cold-fix
                                   # (k, n, n) inverses, the drop round's
                                   # compacted Schur inverse, the rescue's
-                                  # cold K^-1 / Schur): e.g. "bfloat16"
-                                  # (1 MXU pass) or "bfloat16_3x" vs the
-                                  # ambient "highest" (6 passes).  The
-                                  # last ns_cold_tail iterations always
-                                  # run at full precision, so the final
-                                  # iterate converges to the same f32
-                                  # plateau (measured: tools/
-                                  # exp_ns_mixed.py).  "" = all-highest
-                                  # (round-5 behavior).  Any flip must
-                                  # hold the forced-cap torque-parity
-                                  # probes (the drop_ns_iters lesson).
-    ns_cold_tail: int = 6         # full-precision tail iterations when
-                                  # ns_cold_prec is set
+                                  # cold K^-1 / Schur).  "high" = 3-pass
+                                  # bf16 vs the ambient "highest" (6):
+                                  # 3.40 -> 2.47 ms per (512, 70, 70)
+                                  # cold-30 inverse (exp_ns_mixed),
+                                  # +0.6% evolving / +4% diverse bench
+                                  # at identical gates; the last
+                                  # ns_cold_tail iterations run at full
+                                  # precision.  Raw "bfloat16" bodies
+                                  # DIVERGE on hard spectra and are
+                                  # quality-vetoed (PERF.md round 5b).
+                                  # "" = all-highest (round-5 behavior).
+                                  # Any change must hold the forced-cap
+                                  # torque-parity probes (the
+                                  # drop_ns_iters lesson).
+    ns_cold_tail: int = 10        # full-precision tail iterations when
+                                  # ns_cold_prec is set.  PROBE-VALIDATED,
+                                  # not assumed monotone: tail 6 AND 14
+                                  # both fail the forced-cap walk probe
+                                  # (2 steps over 1e-3 N*m); 10 probes
+                                  # clean on walk and diverse (the
+                                  # closed-loop replay is chaotic around
+                                  # acceptance boundaries — re-probe any
+                                  # change, TQ_NS_COLD_TAIL)
     cond_hoist: int = 0           # cond buffer-routing experiments
                                   # (bitwise-identical values on every
                                   # path).  1: route only the gathered
@@ -407,7 +429,7 @@ class QPSolverParams:
                                   # (tune_rescue nosinv_dw8_apx) — the
                                   # ranking is not the fixed cost; kept
                                   # available for larger batches
-    rescue_round2_batch: int = 0  # compact the rescue's polish rounds >= 2
+    rescue_round2_batch: int = 32  # compact the rescue's polish rounds >= 2
                                   # to the top-k scenarios still above
                                   # rescue_threshold after the previous
                                   # round (gather -> cold-Schur polish ->
@@ -417,7 +439,13 @@ class QPSolverParams:
                                   # whole rescue sub-batch, paying
                                   # O(rescue_batch) cold Schur inverses
                                   # when only the still-flagged few need
-                                  # it.  0 = uncompacted (round-4
+                                  # it.  Round-5b default 32 (with
+                                  # rescue_polish_rounds=2): ~free at
+                                  # the 3e-3 threshold and restores
+                                  # diverse flagged_max 0 under the
+                                  # ns_cold_prec defaults (see
+                                  # rescue_polish_rounds).  0 =
+                                  # uncompacted (round-4
                                   # behavior)
     solve_layout: str = "minor"   # "minor": the scaled-problem solve chain
                                   # (fused-setup prepared outputs -> K build

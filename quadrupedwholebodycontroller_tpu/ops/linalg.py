@@ -28,9 +28,13 @@ import jax.numpy as jnp
 
 # Hot-path matmul precision.  "highest" = 6-pass bf16 (full f32); "high" =
 # 3-pass bf16 (~f32 with a slightly larger rounding floor, ~half the MXU
-# cost).  Overridable for on-chip tuning experiments (tools/tune_qp.py);
-# the default stays "highest" unless measurement shows "high" holds the
-# walking-quality gate.
+# cost).  MEASURED round 5b (tune_rescue gprec_high, in-process B=8192
+# evolving): a global "high" DESTROYS convergence — max KKT 0.11,
+# flagged 8145/8192, and slower (313.4k vs 360.5k; the rescue fires
+# constantly).  "highest" is load-bearing for the carried-inverse warm
+# updates and the refinement floors; the only safe reduced-precision
+# surface is the cold-NS chain BODY (ns_inverse body_prec, config
+# ns_cold_prec — see PERF.md).  The env override remains for experiments.
 _MATMUL_PRECISION = os.environ.get("QWBC_MATMUL_PRECISION", "highest")
 
 

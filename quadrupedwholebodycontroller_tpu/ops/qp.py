@@ -1780,7 +1780,12 @@ def solve_batched(
             # because the carried warm K^-1 went stale (tune_sweep exposed
             # this: reusing the warm inverse left the extreme tail at
             # 1.7e-2 where the cold one reaches ~3e-3)
-            Kinv_cold = ns_inverse(K_, params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
+            # NOTE: the rescue chains stay at FULL precision (no
+            # ns_cold_prec body): the rescue is the tail GUARANTEE, and
+            # the diverse bench at a "high"-body rescue left one scenario
+            # flagged at 3.10e-3 (> the 3e-3 threshold) where the
+            # full-precision rescue holds flagged_max 0 (PERF.md r5b)
+            Kinv_cold = ns_inverse(K_, params.ns_iters)
             if params.sigma == 0.0:
                 x, z, y, pr_c, du_c, sv_c = qp_kernel.admm_zy_iterations_res(
                     Kinv_cold, sA_, sg_, sl_, su_, rho_,
@@ -1806,7 +1811,7 @@ def solve_batched(
             )
             if params.polish:
                 def sinv_cold(S_thunk):
-                    return ns_inverse(S_thunk(), params.ns_iters, body_prec=params.ns_cold_prec or None, tail=params.ns_cold_tail)
+                    return ns_inverse(S_thunk(), params.ns_iters)
 
                 # iterated polish WITH THE ACTIVE-SET DROP RULE: a stale
                 # warm-start dual can activate a row that sits well off its

@@ -162,6 +162,20 @@ def main():
         "gprec_high": base,
         "gprec_high_nscold": dataclasses.replace(
             base, ns_cold_prec="high"),
+        # tail sizing for the "high" cold-NS body (tail 6 failed the
+        # forced-cap walk probe at 2 steps over 1e-3; tail 10 probes
+        # CLEAN on walk AND diverse — see PERF.md round 5b)
+        "nsbf16x3_t10": dataclasses.replace(
+            base, ns_cold_prec="high", ns_cold_tail=10),
+        # explicit all-highest pin (the shipped default is now
+        # ns_cold_prec="high", tail 10, rescue chains always highest)
+        "nsoff": dataclasses.replace(base, ns_cold_prec=""),
+        # flagged-floor candidates: the ns_cold default leaves ONE
+        # diverse scenario plateaued at 3.10e-3 (> threshold); the
+        # compacted rescue round 2 exists for exactly this shape
+        "r2c32": dataclasses.replace(
+            base, rescue_polish_rounds=2, rescue_round2_batch=32),
+        "it60": dataclasses.replace(base, rescue_iterations=60),
     }
     if len(sys.argv) > 2:  # optional config filter (exact names when all
         # requested entries are keys; substring match otherwise)
