@@ -213,7 +213,17 @@ def make_diverse_step(model, cp, qp, batch, backend, dtype=jnp.float32):
 
 def main():
     mode = os.environ.get("QWBC_BENCH_MODE", "evolving")
-    batch = int(os.environ.get("QWBC_BENCH_BATCH", "8192"))
+    # round-5b batch-size scan (tools/tune_rescue.py <B> default, one
+    # process each, identical gates): evolving 401.3k/401.2k/362.0k
+    # solves/s at B=2048/4096/8192 — the replay workload plateaus at
+    # B<=4096 and B=8192 pays ~10% (HBM working-set pressure) — while
+    # the DIVERSE replay prefers 8192 (330.4k vs 317.1k at 4096: its
+    # per-step switch load scales with B but the cold-fix chain is
+    # k-capped, so bigger batches amortize it).  Each mode therefore
+    # runs at its measured-optimal batch, and an evolving row at the
+    # historical B=8192 is kept on the same line (b8192_* keys) for
+    # round-over-round comparability.
+    batch = int(os.environ.get("QWBC_BENCH_BATCH", "4096"))
     reps = int(os.environ.get("QWBC_BENCH_REPS", "3"))
     backend = os.environ.get("QWBC_BENCH_QP_BACKEND", "pallas")
     if jax.default_backend() == "cpu":
@@ -272,7 +282,7 @@ def main():
             )
             return c2, cache, ts, kk, cnt
 
-    def measure(multi_step, scan_len, carry, cache):
+    def measure(multi_step, scan_len, carry, cache, bsz=batch):
         carry, cache, ts, kk, cnt = multi_step(carry, cache, False)
         jax.block_until_ready(ts)
         times = []
@@ -288,7 +298,7 @@ def main():
         median = times[len(times) // 2]
         spread = (times[-1] - times[0]) / median
         return {
-            "solves_per_s": round(batch / median, 1),
+            "solves_per_s": round(bsz / median, 1),
             "max_kkt": float(jnp.max(kk)),
             # scenarios whose FINAL KKT still exceeds the rescue threshold
             # (worst step) — nonzero means the rescue budget/stages or
@@ -315,16 +325,37 @@ def main():
     if mode == "evolving" and os.path.exists(DIVERSE_PATH) and int(
         os.environ.get("QWBC_BENCH_DIVERSE", "1")
     ):
-        d_step, d_len = make_diverse_step(model, cp, qp, batch, backend, dtype)
+        d_batch = int(os.environ.get("QWBC_BENCH_DIVERSE_BATCH", "8192"))
+        d_step, d_len = make_diverse_step(
+            model, cp, qp, d_batch, backend, dtype
+        )
         d_cache = (
-            qpm.make_cache(batch, 42, 70, qp, dtype)
+            qpm.make_cache(d_batch, 42, 70, qp, dtype)
             if backend == "pallas" else None
         )
         d_carry = jax.tree.map(
-            lambda x: jnp.stack([x] * batch), wbc.init_carry(dtype)
+            lambda x: jnp.stack([x] * d_batch), wbc.init_carry(dtype)
         )
-        div = measure(d_step, d_len, d_carry, d_cache)
+        div = measure(d_step, d_len, d_carry, d_cache, d_batch)
+        row["diverse_batch"] = d_batch
         row.update({f"diverse_{k}": v for k, v in div.items()})
+    # historical-batch comparability row (rounds 1-5 measured at 8192)
+    if mode == "evolving" and batch != 8192 and int(
+        os.environ.get("QWBC_BENCH_B8192", "1")
+    ):
+        h_step, h_len = make_evolving_step(
+            model, cp, qp, 8192, backend, dtype
+        )
+        h_cache = (
+            qpm.make_cache(8192, 42, 70, qp, dtype)
+            if backend == "pallas" else None
+        )
+        h_carry = jax.tree.map(
+            lambda x: jnp.stack([x] * 8192), wbc.init_carry(dtype)
+        )
+        hist = measure(h_step, h_len, h_carry, h_cache, 8192)
+        row.update({f"b8192_{k}": v for k, v in hist.items()})
+    row["batch"] = batch
     print(json.dumps(row))
 
 
