@@ -375,9 +375,12 @@ class QPSolverParams:
     ns_cold_prec: str = "high"    # matmul precision for the BODY
                                   # iterations of the PER-STEP cold
                                   # sub-batch NS chains (the cold-fix
-                                  # (k, n, n) inverses, the drop round's
-                                  # compacted Schur inverse, the rescue's
-                                  # cold K^-1 / Schur).  "high" = 3-pass
+                                  # (k, n, n) inverses and the drop
+                                  # round's compacted Schur inverse; the
+                                  # RESCUE's cold chains are explicitly
+                                  # excluded — it is the tail guarantee
+                                  # and stays all-highest, ops/qp.py
+                                  # _rescue_core).  "high" = 3-pass
                                   # bf16 vs the ambient "highest" (6):
                                   # 3.40 -> 2.47 ms per (512, 70, 70)
                                   # cold-30 inverse (exp_ns_mixed),
